@@ -1,0 +1,223 @@
+"""Spleeter U-Net forward pass as a pure function over a params pytree.
+
+Reference semantics (Executable/spleeter.c:111-301), re-derived for
+`lax.conv_general_dilated` in NHWC/HWIO (TPU-native layouts):
+
+- 6 encoder convs: 5x5, stride 2. The reference's im2col offset arithmetic
+  (pad = padding + dilation - 1 = 2, hoffset/woffset = 2,
+  Executable/spleeter.c:91,144-149 + Executable/im2col_dilated.c:10-33)
+  resolves to input index `2*out + k - 1`, i.e. exact TF-SAME asymmetric
+  padding (1, 2) per spatial dim for even input sizes.
+- 6 decoder transposed convs: 5x5, stride 2, output_padding 1, offsets (1,1)
+  (Executable/spleeter.c:150-155). The col2im scatter
+  (Executable/im2col_dilated.c:42-65 with the extra -1 crop at :34-41)
+  resolves to `out[2*in + k - 1] += x[in] * w[k]`, i.e. TF-SAME
+  conv2d_transpose: lhs_dilation 2 with padding (3, 2) and a spatially
+  flipped kernel.
+- Final conv: 4x4, dilation 2, stride 1 (Executable/spleeter.c:156). The
+  nonstandard effective-kernel formula `(d-1)*(k+1)+k = 9`
+  (Executable/im2col_dilated.c:13) plus offsets (1,1) resolves to taps at
+  {-3, -1, +1, +3}: a standard rhs_dilation-2 conv with padding (3, 3).
+- Fusion order (Executable/spleeter.c:177-301): encoder
+  `act(bn_scale * (conv + bias) + bn_shift)` with the PRE-activation
+  `conv + bias` retained as the skip tensor; bottleneck bias-only; decoder
+  `bn_scale * act(tconv + bias) + bn_shift` (activation BEFORE batch norm);
+  skip concat is [skip, upsampled] along channels; mask =
+  sigmoid(final_conv + bias).
+
+Activations (Executable/spleeter.c:43-56,130-139): stem mode 0 (2-stem
+subnet) uses leakyReLU(0.2) encoder / ReLU decoder; mode 1 (4-stem family)
+uses ELU everywhere with inputs below -15 clamped to -1.
+
+Input layout: the C code runs CHW planes of shape (2, timeStep, binLimit)
+(Executable/main.c:468: magnitude[ch][time][bin]); here NHWC
+(batch, time, bins, 2) so channels ride the TPU lane dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spleeterrt_tpu.config import STEM_MODE_2, STEM_MODE_4
+
+# (Cin, Cout) per encoder layer (Executable/spleeter.c:144-149).
+ENCODER_CHANNELS = ((2, 16), (16, 32), (32, 64), (64, 128), (128, 256), (256, 512))
+# (Cin, Cout) per decoder layer; Cin includes the skip concat
+# (Executable/spleeter.c:150-155).
+DECODER_CHANNELS = ((512, 256), (512, 128), (256, 64), (128, 32), (64, 16), (32, 1))
+FINAL_CHANNELS = (1, 2)
+
+Params = dict[str, Any]
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def init_params(key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random params with the blob's shapes; he-normal fan-in init."""
+    params: Params = {}
+    n_layers = len(ENCODER_CHANNELS) + len(DECODER_CHANNELS) + 1
+    keys = jax.random.split(key, n_layers)
+    ki = 0
+
+    def conv_init(k, kh, kw, cin, cout):
+        fan_in = kh * kw * cin
+        return jax.random.normal(k, (kh, kw, cin, cout), dtype) * jnp.sqrt(2.0 / fan_in)
+
+    for i, (cin, cout) in enumerate(ENCODER_CHANNELS, start=1):
+        layer = {
+            "w": conv_init(keys[ki], 5, 5, cin, cout),
+            "b": jnp.zeros((cout,), dtype),
+        }
+        if i < 6:  # down6 (bottleneck) has no batch norm
+            layer["bn_scale"] = jnp.ones((cout,), dtype)
+            layer["bn_shift"] = jnp.zeros((cout,), dtype)
+        params[f"down{i}"] = layer
+        ki += 1
+    for i, (cin, cout) in enumerate(DECODER_CHANNELS, start=1):
+        params[f"up{i}"] = {
+            "w": conv_init(keys[ki], 5, 5, cin, cout),
+            "b": jnp.zeros((cout,), dtype),
+            "bn_scale": jnp.ones((cout,), dtype),
+            "bn_shift": jnp.zeros((cout,), dtype),
+        }
+        ki += 1
+    params["up7"] = {
+        "w": conv_init(keys[ki], 4, 4, *FINAL_CHANNELS),
+        "b": jnp.zeros((FINAL_CHANNELS[1],), dtype),
+    }
+    return params
+
+
+def _act_encoder(x: jax.Array, stem_mode: int) -> jax.Array:
+    if stem_mode == STEM_MODE_2:
+        return jnp.where(x >= 0, x, 0.2 * x)  # leakyReLU (spleeter.c:43-46)
+    return _elu(x)
+
+
+def _act_decoder(x: jax.Array, stem_mode: int) -> jax.Array:
+    if stem_mode == STEM_MODE_2:
+        return jnp.maximum(x, 0.0)  # ReLU (spleeter.c:47-50)
+    return _elu(x)
+
+
+def _elu(x: jax.Array) -> jax.Array:
+    # Denormal guard: x < -15 -> -1 exactly (Executable/spleeter.c:51-56).
+    safe = jnp.maximum(x, -15.0)
+    return jnp.where(x >= 0, x, jnp.where(x < -15.0, -1.0, jnp.expm1(safe)))
+
+
+def fast_sigmoid(x: jax.Array) -> jax.Array:
+    """Piecewise-linear sigmoid over 1025 knots on [-7, 7], clamped outside.
+
+    Regenerates the reference exe's LUT behaviour (Executable/spleeter.c:30-42;
+    the table there is sigmoid sampled at -7 + i*14/1024 with the last entry
+    forced to 1) for bit-parity testing; the VST uses the exact sigmoid.
+    """
+    step = 14.0 / 1024.0
+    idx = jnp.clip(jnp.floor((x + 7.0) / step), 0, 1023)
+    x1 = -7.0 + step * idx
+    y0 = jax.nn.sigmoid(x1)
+    y1 = jnp.where(idx >= 1023, 1.0, jax.nn.sigmoid(x1 + step))
+    y = y0 + (y1 - y0) / step * (x - x1)
+    return jnp.where(x > 7.0, 1.0, jnp.where(x < -7.0, 0.0, y))
+
+
+def _conv_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """5x5 stride-2 conv with the reference's TF-SAME (1,2) padding."""
+    return lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((1, 2), (1, 2)),
+        dimension_numbers=_DIMS, preferred_element_type=jnp.float32,
+    )
+
+
+def _tconv_same(x: jax.Array, w: jax.Array) -> jax.Array:
+    """5x5 stride-2 TF-SAME transposed conv (out[2h + k - 1] += x[h] w[k])."""
+    return lax.conv_general_dilated(
+        x, w[::-1, ::-1], window_strides=(1, 1), padding=((3, 2), (3, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
+    """4x4 rhs_dilation-2 stride-1 conv, padding (3,3): taps at -3,-1,+1,+3."""
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((3, 3), (3, 3)),
+        rhs_dilation=(2, 2), dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("stem_mode", "compute_dtype", "sigmoid"))
+def unet_forward(
+    params: Params,
+    magnitude: jax.Array,
+    stem_mode: int = STEM_MODE_4,
+    compute_dtype=jnp.float32,
+    sigmoid: str = "exact",
+) -> jax.Array:
+    """Magnitude (batch, T, F, 2) -> soft mask (batch, T, F, 2) in [0, 1].
+
+    T and F must be divisible by 64 (six stride-2 halvings). Convs run in
+    `compute_dtype` (bf16 on the MXU by default at the pipeline level) with
+    fp32 accumulation; bias/BN/activation epilogues run in fp32.
+    """
+    x = magnitude.astype(compute_dtype)
+    cast = lambda a: a.astype(compute_dtype)
+
+    skips = []
+    for i in range(1, 7):
+        ly = params[f"down{i}"]
+        conv = _conv_same(x, cast(ly["w"])) + ly["b"].astype(jnp.float32)
+        if i < 6:
+            skips.append(conv)
+            x = cast(_act_encoder(
+                ly["bn_scale"].astype(jnp.float32) * conv
+                + ly["bn_shift"].astype(jnp.float32),
+                stem_mode,
+            ))
+        else:
+            x = cast(conv)  # bottleneck: bias only (spleeter.c:231-238)
+
+    for i in range(1, 7):
+        ly = params[f"up{i}"]
+        y = _tconv_same(x, cast(ly["w"])) + ly["b"].astype(jnp.float32)
+        y = (
+            ly["bn_scale"].astype(jnp.float32) * _act_decoder(y, stem_mode)
+            + ly["bn_shift"].astype(jnp.float32)
+        )
+        if i < 6:
+            # concat [skip, upsampled]; skips are pre-BN/act conv outputs
+            # (spleeter.c:239-288, README "Fast neural network inference").
+            x = jnp.concatenate([cast(skips[5 - i]), cast(y)], axis=-1)
+        else:
+            x = cast(y)
+
+    logits = _conv_dilated_final(x, cast(params["up7"]["w"])) + params["up7"][
+        "b"
+    ].astype(jnp.float32)
+    if sigmoid == "lut":
+        return fast_sigmoid(logits)
+    return jax.nn.sigmoid(logits)
+
+
+def multi_stem_forward(
+    stacked_params: Params,
+    magnitude: jax.Array,
+    stem_mode: int = STEM_MODE_4,
+    compute_dtype=jnp.float32,
+    sigmoid: str = "exact",
+) -> jax.Array:
+    """Run S stacked U-Nets over one magnitude batch -> (S, batch, T, F, 2).
+
+    The reference runs one net per pthread (VST/Source/Spleeter4Stems.c:135,
+    TASK_NB=5); here the stem axis is a vmap so XLA fuses all stems into
+    batched/grouped convolutions on the MXU.
+    """
+    fwd = lambda p: unet_forward(p, magnitude, stem_mode, compute_dtype, sigmoid)
+    return jax.vmap(fwd)(stacked_params)
