@@ -1,0 +1,102 @@
+"""End-to-end offline separation parity vs the oracle + stem-graph laws."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spleeterrt_tpu.config import SeparatorConfig, TransformConfig
+from spleeterrt_tpu.core import separate, transform, weights
+from tests.oracle import reference_oracle as oracle
+
+CFG2 = SeparatorConfig(
+    bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
+)
+
+
+def _audio(rng, n=30000):
+    t = np.arange(n) / 44100.0
+    x = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(n)
+    return np.stack([x, 0.8 * x]).astype(np.float32)
+
+
+def test_2stem_matches_oracle(rng):
+    blob = weights.random_blob(rng, scale=0.02)
+    params = weights.blob_to_params(blob)
+    fields = oracle.unpack_blob(blob)
+    audio = _audio(rng)
+    n = audio.shape[-1]
+
+    got = separate.separate(audio, params=params, cfg=CFG2)
+    ref_vocal, ref_acc = oracle.offline_separate_2stem(
+        fields, audio.astype(np.float64), n, CFG2.bin_limit, CFG2.time_step
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(got["vocals"]), ref_vocal, atol=5e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["accompaniment"]), ref_acc, atol=5e-4, rtol=1e-3
+    )
+    # Conservation: vocals + accompaniment == input (time-domain residual).
+    np.testing.assert_allclose(
+        np.asarray(got["vocals"]) + np.asarray(got["accompaniment"]),
+        audio,
+        atol=1e-5,
+    )
+
+
+def test_3stem_graph(rng):
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=3, compute_dtype=jnp.float32
+    )
+    p4 = weights.blob_to_params(weights.random_blob(rng, scale=0.02))
+    p2 = weights.blob_to_params(weights.random_blob(rng, scale=0.02))
+    audio = _audio(rng, 20000)
+    got = separate.separate(audio, params4=p4, params2=p2, cfg=cfg)
+    assert set(got) == {"drums", "vocals", "accompaniment"}
+    for stem in got.values():
+        assert stem.shape == audio.shape
+
+    # drums + (vocals + accompaniment) reconstructs the input up to the
+    # unaffected-band attenuation: residual spectrum = orig - masked, and
+    # vocals + accompaniment = istft(residual) exactly (main.c:922-928).
+    # So drums + vocals + accompaniment = istft(orig spectra) = input.
+    total = sum(np.asarray(s) for s in got.values())
+    np.testing.assert_allclose(total, audio, atol=1e-4)
+
+
+def test_4stem_graph(rng):
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=4, compute_dtype=jnp.float32
+    )
+    stacked = weights.stack_params(
+        [weights.blob_to_params(weights.random_blob(rng, 0.02)) for _ in range(4)]
+    )
+    audio = _audio(rng, 16000)
+    got = separate.separate(audio, stacked_params=stacked, cfg=cfg)
+    assert set(got) == {"drums", "bass", "accompaniment", "vocals"}
+    for stem in got.values():
+        assert stem.shape == audio.shape
+        assert np.all(np.isfinite(np.asarray(stem)))
+
+
+def test_mono_input_upmix(rng):
+    params = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    mono = _audio(rng, 12000)[0]
+    got = separate.separate(mono, params=params, cfg=CFG2)
+    assert got["vocals"].shape == (2, 12000)
+
+
+def test_tile_padding_roundtrip(rng):
+    cfg = CFG2
+    n_frames = 150  # not a multiple of time_step=64 -> padded tail tile
+    spec = jnp.asarray(
+        rng.standard_normal((2, n_frames, 2049))
+        + 1j * rng.standard_normal((2, n_frames, 2049)),
+        jnp.complex64,
+    )
+    tiles = separate.spec_to_tiles(spec, cfg)
+    assert tiles.shape == (3, 64, 512, 2)
+    back = separate.tiles_to_frames(tiles, n_frames)
+    np.testing.assert_allclose(
+        np.asarray(back), np.abs(np.asarray(spec))[:, :, :512], atol=1e-5
+    )
