@@ -1,0 +1,63 @@
+"""Benchmark: 4-stem separation real-time factor per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference separates 14 s of audio in ~600 ms on a desktop CPU
+with MKL (README.MD "Fast neural network inference"), i.e. ~23.3x real time;
+BASELINE.md targets >=100x real time per v5e chip at 4-stem 44.1 kHz.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spleeterrt_tpu.config import SeparatorConfig
+from spleeterrt_tpu.core import model, separate, transform
+
+BASELINE_RTF = 14.0 / 0.6  # reference README claim
+SECONDS = 60.0
+SR = 44100
+
+
+def main():
+    cfg = SeparatorConfig(
+        bin_limit=1536,  # VST 4-stem config (PluginProcessor.cpp:124)
+        time_step=256,
+        num_stems=4,
+        compute_dtype=jnp.bfloat16,
+    )
+    params4 = [model.init_params(jax.random.PRNGKey(i)) for i in range(4)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params4)
+
+    n = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((2, n)) * 0.3, jnp.float32)
+    padded = transform.pad_offline(audio, cfg.transform)
+    padded = jax.device_put(padded)
+
+    run = lambda: separate.separate_4stem(stacked, padded, cfg)
+    run()[0].block_until_ready()  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run().block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rtf = SECONDS / best
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_factor_4stem_44k1",
+                "value": round(rtf, 2),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / BASELINE_RTF, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,7 @@ def _conv_same(x: jax.Array, w: jax.Array) -> jax.Array:
     """5x5 stride-2 conv with the reference's TF-SAME (1,2) padding."""
     return lax.conv_general_dilated(
         x, w, window_strides=(2, 2), padding=((1, 2), (1, 2)),
-        dimension_numbers=_DIMS, preferred_element_type=jnp.float32,
+        dimension_numbers=_DIMS,
     )
 
 
@@ -140,7 +140,6 @@ def _tconv_same(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(
         x, w[::-1, ::-1], window_strides=(1, 1), padding=((3, 2), (3, 2)),
         lhs_dilation=(2, 2), dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -149,7 +148,6 @@ def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((3, 3), (3, 3)),
         rhs_dilation=(2, 2), dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -173,7 +171,7 @@ def unet_forward(
     skips = []
     for i in range(1, 7):
         ly = params[f"down{i}"]
-        conv = _conv_same(x, cast(ly["w"])) + ly["b"].astype(jnp.float32)
+        conv = _conv_same(x, cast(ly["w"])).astype(jnp.float32) + ly["b"].astype(jnp.float32)
         if i < 6:
             skips.append(conv)
             x = cast(_act_encoder(
@@ -186,7 +184,7 @@ def unet_forward(
 
     for i in range(1, 7):
         ly = params[f"up{i}"]
-        y = _tconv_same(x, cast(ly["w"])) + ly["b"].astype(jnp.float32)
+        y = _tconv_same(x, cast(ly["w"])).astype(jnp.float32) + ly["b"].astype(jnp.float32)
         y = (
             ly["bn_scale"].astype(jnp.float32) * _act_decoder(y, stem_mode)
             + ly["bn_shift"].astype(jnp.float32)
@@ -198,9 +196,9 @@ def unet_forward(
         else:
             x = cast(y)
 
-    logits = _conv_dilated_final(x, cast(params["up7"]["w"])) + params["up7"][
-        "b"
-    ].astype(jnp.float32)
+    logits = _conv_dilated_final(x, cast(params["up7"]["w"])).astype(
+        jnp.float32
+    ) + params["up7"]["b"].astype(jnp.float32)
     if sigmoid == "lut":
         return fast_sigmoid(logits)
     return jax.nn.sigmoid(logits)

@@ -1,0 +1,187 @@
+"""Audio file I/O.
+
+Capability parity with the reference's vendored dr_wav/dr_flac/dr_mp3 decode
+and float32 WAV stem writing (Executable/main.c:230-276, 812-843), without
+vendoring 23k LoC of C: a from-scratch RIFF/WAVE codec in NumPy (PCM 16/24/32,
+IEEE float32/64, WAVE_FORMAT_EXTENSIBLE), with soundfile/ffmpeg fallbacks for
+FLAC/MP3 when available. The fast path for bulk decode lives in the native
+C++ runtime (spleeterrt_tpu/native) when built.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import struct
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclass
+class AudioData:
+    samples: np.ndarray  # (channels, n) float32 in [-1, 1]
+    sample_rate: int
+
+
+def read_wav(path: str | os.PathLike | bytes) -> AudioData:
+    """Parse a RIFF/WAVE file into float32 (channels, n)."""
+    if isinstance(path, (bytes, bytearray)):
+        f = io.BytesIO(path)
+    else:
+        f = open(path, "rb")
+    with f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, csize = struct.unpack("<4sI", hdr)
+            payload = f.read(csize)
+            if csize % 2:
+                f.read(1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                data = payload
+                if fmt is not None:
+                    break
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        (tag, channels, rate, _bps, _align, bits) = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if tag == WAVE_FORMAT_EXTENSIBLE:
+            # Subformat GUID's first two bytes carry the real format tag.
+            tag = struct.unpack("<H", fmt[24:26])[0]
+        x = _decode_pcm(data, tag, bits)
+        n = x.size // channels
+        samples = x[: n * channels].reshape(n, channels).T
+        return AudioData(np.ascontiguousarray(samples), rate)
+
+
+def _decode_pcm(data: bytes, tag: int, bits: int) -> np.ndarray:
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        dtype = "<f4" if bits == 32 else "<f8"
+        return np.frombuffer(data, dtype=dtype).astype(np.float32)
+    if tag != WAVE_FORMAT_PCM:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
+    if bits == 16:
+        return np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if bits == 32:
+        return np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    if bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: raw.size // 3 * 3].reshape(-1, 3)
+        val = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        val = (val << 8) >> 8  # sign extend
+        return val.astype(np.float32) / 8388608.0
+    if bits == 8:
+        return (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+def write_wav(
+    path: str | os.PathLike,
+    samples: np.ndarray,
+    sample_rate: int = 44100,
+    fmt: str = "float32",
+) -> None:
+    """Write (channels, n) or (n,) samples; stems default to 32-bit float
+    stereo like the reference (Executable/main.c:816-823)."""
+    x = np.asarray(samples, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    channels, n = x.shape
+    interleaved = np.ascontiguousarray(x.T)
+    if fmt == "float32":
+        payload = interleaved.astype("<f4").tobytes()
+        tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
+    elif fmt == "pcm16":
+        clipped = np.clip(interleaved, -1.0, 1.0 - 1.0 / 32768.0)
+        payload = (clipped * 32768.0).round().astype("<i2").tobytes()
+        tag, bits = WAVE_FORMAT_PCM, 16
+    else:
+        raise ValueError(f"unsupported write format {fmt}")
+    block = channels * bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(payload),
+        b"WAVE",
+        b"fmt ",
+        16,
+        tag,
+        channels,
+        sample_rate,
+        sample_rate * block,
+        block,
+        bits,
+        b"data",
+        len(payload),
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+
+
+def _read_via_soundfile(path) -> AudioData | None:
+    try:
+        import soundfile  # optional; not in the base image
+    except ImportError:
+        return None
+    data, rate = soundfile.read(path, dtype="float32", always_2d=True)
+    return AudioData(np.ascontiguousarray(data.T), rate)
+
+
+def _read_via_ffmpeg(path) -> AudioData | None:
+    ffprobe = shutil.which("ffprobe")
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg or not ffprobe:
+        return None
+    probe = subprocess.run(
+        [ffprobe, "-v", "error", "-select_streams", "a:0", "-show_entries",
+         "stream=channels,sample_rate", "-of", "csv=p=0", str(path)],
+        capture_output=True, text=True,
+    )
+    if probe.returncode != 0:
+        return None
+    rate, channels = (int(v) for v in probe.stdout.strip().split(","))
+    raw = subprocess.run(
+        [ffmpeg, "-v", "error", "-i", str(path), "-f", "f32le", "-"],
+        capture_output=True,
+    )
+    if raw.returncode != 0:
+        return None
+    x = np.frombuffer(raw.stdout, dtype="<f4")
+    n = x.size // channels
+    return AudioData(np.ascontiguousarray(x[: n * channels].reshape(n, channels).T), rate)
+
+
+def load_audio(path: str | os.PathLike) -> AudioData:
+    """Decode WAV natively; FLAC/MP3/etc. via soundfile or ffmpeg if present
+    (the reference vendors dr_flac/dr_mp3; this environment has neither
+    codec need for the test corpus)."""
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext == ".wav":
+        return read_wav(path)
+    for reader in (_read_via_soundfile, _read_via_ffmpeg):
+        out = reader(path)
+        if out is not None:
+            return out
+    raise ValueError(
+        f"cannot decode {path}: non-WAV formats need soundfile or ffmpeg"
+    )

@@ -1,0 +1,116 @@
+"""Device-mesh sharding for separation and training.
+
+The reference's entire scaling story is pthread pools over shared memory:
+spectrogram tiles across threads (Executable/main.c:550-575), STFT frames
+across threads (Executable/stftFix.c:379-427), one U-Net replica per stem
+thread (VST/Source/Spleeter4Stems.c:135). The TPU-native equivalents:
+
+- "stem" axis: the 4 per-stem U-Nets are expert-style model parallelism;
+  stem-sharded params put one (or more) nets per device group.
+- "data" axis: spectrogram tiles (the reference's frame-block data
+  parallelism) shard across devices; tiles are independent by design (no
+  cross-tile context, SURVEY.md section 2), so mask inference needs no halo.
+- STFT/iSTFT stay replicated: they are <1% of FLOPs; the overlap-add halo
+  (FFTSIZE - HOP samples) is only needed if the signal axis itself is
+  sharded, which the offline path avoids by sharding tiles instead.
+
+All entry points accept any `jax.sharding.Mesh`; tests exercise them on an
+8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spleeterrt_tpu.config import STEM_MODE_4, SeparatorConfig
+from spleeterrt_tpu.core import transform
+from spleeterrt_tpu.core.model import Params, multi_stem_forward
+from spleeterrt_tpu.core.separate import spec_to_tiles, tiles_to_frames
+
+
+def make_mesh(
+    devices: list | None = None, stem_parallel: int = 1
+) -> Mesh:
+    """Mesh over (stem, data). `stem_parallel` devices cooperate per... rather:
+    the stem axis has `stem_parallel` groups; remaining devices do data
+    parallelism over tiles."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % stem_parallel:
+        raise ValueError(f"{n} devices not divisible by stem_parallel={stem_parallel}")
+    arr = np.asarray(devices).reshape(stem_parallel, n // stem_parallel)
+    return Mesh(arr, ("stem", "data"))
+
+
+def shard_params(params: Params, mesh: Mesh, stem_sharded: bool) -> Params:
+    """Place params: stacked per-stem params shard their leading stem axis
+    over the "stem" mesh axis; everything else is replicated."""
+    spec = P("stem") if stem_sharded else P()
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), params)
+
+
+def _pad_tiles(tiles: jax.Array, n_shards: int) -> tuple[jax.Array, int]:
+    nt = tiles.shape[0]
+    padded = -(-nt // n_shards) * n_shards
+    if padded != nt:
+        tiles = jnp.pad(tiles, ((0, padded - nt),) + ((0, 0),) * (tiles.ndim - 1))
+    return tiles, nt
+
+
+def compute_masks_sharded(
+    stacked_params: Params,
+    spec: jax.Array,
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+    stem_mode: int = STEM_MODE_4,
+) -> jax.Array:
+    """Multi-stem masks with tiles sharded over "data" and stems over "stem".
+
+    Uses sharding constraints under jit: XLA partitions the batched convs
+    across the mesh and inserts the (empty, tiles are independent) halo
+    logic itself. Returns (S, 2, n_frames, bin_limit), replicated.
+    """
+    n_data = mesh.shape["data"]
+    tiles = spec_to_tiles(spec, cfg)
+    tiles, n_tiles = _pad_tiles(tiles, n_data)
+    tiles = jax.lax.with_sharding_constraint(
+        tiles, NamedSharding(mesh, P("data"))
+    )
+    masks = multi_stem_forward(
+        stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
+    )
+    masks = jax.lax.with_sharding_constraint(
+        masks, NamedSharding(mesh, P("stem", "data"))
+    )
+    masks = masks[:, :n_tiles]
+    return jax.vmap(tiles_to_frames, in_axes=(0, None))(masks, spec.shape[-2])
+
+
+def separate_4stem_sharded(
+    stacked_params: Params,
+    audio: jax.Array,
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Mesh-sharded 4-stem offline graph; see core.separate.separate_4stem."""
+    data_size = audio.shape[-1]
+
+    def fn(params, audio):
+        spec = transform.stft(audio, cfg.transform, data_size)
+        masks = compute_masks_sharded(params, spec, cfg, mesh)
+        out_band = jnp.asarray([0.25, 0.0, 0.25, 0.25])
+
+        def one(mask, uw):
+            in_band = spec[..., : cfg.bin_limit] * mask.astype(spec.real.dtype)
+            oob = spec[..., cfg.bin_limit :] * uw.astype(spec.real.dtype)
+            return transform.istft(
+                jnp.concatenate([in_band, oob], axis=-1), cfg.transform
+            )
+
+        return jax.vmap(one)(masks, out_band)
+
+    return jax.jit(fn)(stacked_params, audio)

@@ -1,0 +1,58 @@
+"""CLI smoke tests (random weights, tiny audio, minimum tile config)."""
+
+import numpy as np
+
+from spleeterrt_tpu import cli
+from spleeterrt_tpu.io import audio
+
+
+def _make_input(tmp_path, rng, n=12000, sr=44100):
+    x = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+    path = tmp_path / "song.wav"
+    audio.write_wav(path, x, sr)
+    return path, x
+
+
+def test_cli_2stem(tmp_path, rng):
+    path, x = _make_input(tmp_path, rng)
+    rc = cli.main([
+        str(path), "--stems", "2", "--time-step", "64", "--bin-limit", "512",
+        "--random-weights", "--fp32", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    vocal = audio.read_wav(tmp_path / "song_Vocal.wav")
+    acc = audio.read_wav(tmp_path / "song_Accompaniment.wav")
+    assert vocal.samples.shape == x.shape
+    # 2-stem graph: stems sum to the input.
+    np.testing.assert_allclose(vocal.samples + acc.samples, x, atol=1e-4)
+
+
+def test_cli_resamples_non_44k1(tmp_path, rng):
+    path, x = _make_input(tmp_path, rng, n=16000, sr=32000)
+    rc = cli.main([
+        str(path), "--stems", "2", "--time-step", "64", "--bin-limit", "512",
+        "--random-weights", "--fp32", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    vocal = audio.read_wav(tmp_path / "song_Vocal.wav")
+    assert vocal.samples.shape[1] == int(np.ceil(16000 * 44100 / 32000))
+
+
+def test_cli_4stem(tmp_path, rng):
+    path, _ = _make_input(tmp_path, rng, n=8000)
+    rc = cli.main([
+        str(path), "--stems", "4", "--time-step", "64", "--bin-limit", "512",
+        "--random-weights", "--fp32", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    for name in ("Drum", "Bass", "Accompaniment", "Vocal"):
+        assert (tmp_path / f"song_{name}.wav").exists()
+
+
+def test_cli_arg_clamping(tmp_path, rng):
+    path, _ = _make_input(tmp_path, rng, n=6000)
+    rc = cli.main([
+        str(path), "--stems", "2", "--time-step", "7", "--bin-limit", "9000",
+        "--random-weights", "--fp32", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
