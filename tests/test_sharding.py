@@ -90,3 +90,23 @@ def test_graft_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 2, 64, 512, 2)
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_timesharded_separation_matches_replicated(rng):
+    """Sequence-parallel (sample-axis sharded) pipeline == replicated."""
+    from spleeterrt_tpu.parallel import timeshard
+
+    stacked = _stacked(rng)
+    n = 150000  # not a tidy multiple of anything
+    audio = jnp.asarray(rng.standard_normal((2, n)), jnp.float32) * 0.3
+
+    ref = separate.separate(np.asarray(audio), stacked_params=stacked, cfg=CFG)
+
+    m = pmesh.make_mesh(stem_parallel=1)  # pure 8-way sequence parallelism
+    got = timeshard.separate_4stem_timesharded_padded(stacked, audio, CFG, m)
+    got = np.asarray(got)
+    for i, stem in enumerate(CFG.stem_names):
+        np.testing.assert_allclose(
+            got[i], np.asarray(ref[stem]), atol=5e-5,
+            err_msg=f"stem {stem} mismatch",
+        )
