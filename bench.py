@@ -5,6 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference separates 14 s of audio in ~600 ms on a desktop CPU
 with MKL (README.MD "Fast neural network inference"), i.e. ~23.3x real time;
 BASELINE.md targets >=100x real time per v5e chip at 4-stem 44.1 kHz.
+
+Timing note: the output is reduced to a scalar checksum inside the jit so
+the host materialization forces full execution with a 4-byte transfer --
+`block_until_ready` alone under-reports on the tunneled (axon) backend, and
+materializing the full stems would time the tunnel, not the chip.
 """
 
 import json
@@ -35,15 +40,18 @@ def main():
     n = int(SECONDS * SR)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((2, n)) * 0.3, jnp.float32)
-    padded = transform.pad_offline(audio, cfg.transform)
-    padded = jax.device_put(padded)
+    padded = jax.device_put(transform.pad_offline(audio, cfg.transform))
 
-    run = lambda: separate.separate_4stem(stacked, padded, cfg)
-    run()[0].block_until_ready()  # compile + warm
+    @jax.jit
+    def checksum(stacked, padded):
+        out = separate.separate_4stem(stacked, padded, cfg)
+        return jnp.sum(jnp.abs(out))
+
+    float(checksum(stacked, padded))  # compile + warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        run().block_until_ready()
+        float(checksum(stacked, padded))
         times.append(time.perf_counter() - t0)
     best = min(times)
     rtf = SECONDS / best
