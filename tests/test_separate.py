@@ -100,3 +100,26 @@ def test_tile_padding_roundtrip(rng):
     np.testing.assert_allclose(
         np.asarray(back), np.abs(np.asarray(spec))[:, :, :512], atol=1e-5
     )
+
+
+def test_bf16_pipeline_snr_vs_fp32(rng):
+    """The production bf16 compute path stays within a tight SNR bound of the
+    fp32 (oracle-verified) path -- the BASELINE.md acceptance style check."""
+    from spleeterrt_tpu.utils import metrics
+
+    blob = weights.random_blob(rng, scale=0.02)
+    params = weights.blob_to_params(blob)
+    audio = _audio(rng, 40000)
+
+    ref = separate.separate(audio, params=params, cfg=CFG2)
+    cfg_bf16 = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.bfloat16
+    )
+    got = separate.separate(audio, params=params, cfg=cfg_bf16)
+
+    rep = metrics.stem_report(
+        {k: np.asarray(v) for k, v in got.items()},
+        {k: np.asarray(v) for k, v in ref.items()},
+    )
+    for stem, m in rep.items():
+        assert m["snr_db"] > 30.0, (stem, m)
