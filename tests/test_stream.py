@@ -108,3 +108,21 @@ def test_stream_output_is_finite_and_delayed_silence(rng):
     )
     out = np.asarray(stream.stream_scan(stacked, jnp.asarray(audio), CFG, 2, OUT_BAND))
     np.testing.assert_array_equal(out, np.zeros_like(out))
+
+
+def test_chunked_executor_matches_monolithic(rng):
+    """Bounded-memory chunked offline path == the monolithic 4-stem graph."""
+    from spleeterrt_tpu.core import separate as sep
+    from spleeterrt_tpu.runtime import executor
+
+    stacked, _ = _setup(rng, n_stems=4)
+    n = 200000
+    audio = (rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+
+    ref = sep.separate(audio, stacked_params=stacked, cfg=CFG)
+    got = executor.separate_4stem_chunked(stacked, audio, CFG, chunk_tiles=2)
+    assert got.shape == (4, 2, n)
+    for i, stem in enumerate(CFG.stem_names):
+        np.testing.assert_allclose(
+            got[i], np.asarray(ref[stem]), atol=5e-5, err_msg=stem
+        )
