@@ -161,9 +161,11 @@ def unet_forward(
 ) -> jax.Array:
     """Magnitude (batch, T, F, 2) -> soft mask (batch, T, F, 2) in [0, 1].
 
-    T and F must be divisible by 64 (six stride-2 halvings). Convs run in
-    `compute_dtype` (bf16 on the MXU by default at the pipeline level) with
-    fp32 accumulation; bias/BN/activation epilogues run in fp32.
+    T and F must be divisible by 64 (six stride-2 halvings). Everything runs
+    in `compute_dtype` (bf16 on the MXU by default at the pipeline level; the
+    TPU accumulates bf16 matmuls in fp32 internally); only the final logits
+    are promoted to fp32 for the sigmoid. fp32 `compute_dtype` gives the
+    oracle-parity path.
     """
     x = magnitude.astype(compute_dtype)
     cast = lambda a: a.astype(compute_dtype)
@@ -171,30 +173,25 @@ def unet_forward(
     skips = []
     for i in range(1, 7):
         ly = params[f"down{i}"]
-        conv = _conv_same(x, cast(ly["w"])).astype(jnp.float32) + ly["b"].astype(jnp.float32)
+        conv = _conv_same(x, cast(ly["w"])) + cast(ly["b"])
         if i < 6:
             skips.append(conv)
-            x = cast(_act_encoder(
-                ly["bn_scale"].astype(jnp.float32) * conv
-                + ly["bn_shift"].astype(jnp.float32),
-                stem_mode,
-            ))
+            x = _act_encoder(
+                cast(ly["bn_scale"]) * conv + cast(ly["bn_shift"]), stem_mode
+            )
         else:
-            x = cast(conv)  # bottleneck: bias only (spleeter.c:231-238)
+            x = conv  # bottleneck: bias only (spleeter.c:231-238)
 
     for i in range(1, 7):
         ly = params[f"up{i}"]
-        y = _tconv_same(x, cast(ly["w"])).astype(jnp.float32) + ly["b"].astype(jnp.float32)
-        y = (
-            ly["bn_scale"].astype(jnp.float32) * _act_decoder(y, stem_mode)
-            + ly["bn_shift"].astype(jnp.float32)
-        )
+        y = _tconv_same(x, cast(ly["w"])) + cast(ly["b"])
+        y = cast(ly["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly["bn_shift"])
         if i < 6:
             # concat [skip, upsampled]; skips are pre-BN/act conv outputs
             # (spleeter.c:239-288, README "Fast neural network inference").
-            x = jnp.concatenate([cast(skips[5 - i]), cast(y)], axis=-1)
+            x = jnp.concatenate([skips[5 - i], y], axis=-1)
         else:
-            x = cast(y)
+            x = y
 
     logits = _conv_dilated_final(x, cast(params["up7"]["w"])).astype(
         jnp.float32
