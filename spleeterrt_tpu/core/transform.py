@@ -32,6 +32,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from spleeterrt_tpu.config import TransformConfig
+from spleeterrt_tpu.kernels import fastfft
+
+
+def _use_matmul_fft() -> bool:
+    """MXU matmul FFT on accelerator backends; XLA FFT on CPU.
+
+    XLA's generic TPU FFT lowering is far off the matmul formulation for
+    this pipeline's 4096-point batches (see kernels/fastfft.py); CPU's
+    native FFT is faster than matmuls there. Overridable for testing via
+    SPLEETERRT_MXU_FFT=0/1.
+    """
+    import os
+
+    env = os.environ.get("SPLEETERRT_MXU_FFT")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() != "cpu"
+
+
+def rfft(frames: jax.Array, n: int) -> jax.Array:
+    """Real FFT along the last axis, MXU-dispatched for n == 4096."""
+    if n == fastfft.N and _use_matmul_fft():
+        return fastfft.rfft4096(frames)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def irfft(spec: jax.Array, n: int) -> jax.Array:
+    """Inverse real FFT along the last axis, MXU-dispatched for n == 4096."""
+    if n == fastfft.N and _use_matmul_fft():
+        return fastfft.irfft4096(spec)
+    return jnp.fft.irfft(spec, n=n, axis=-1)
 
 
 def analysis_window(fft_size: int, dtype=jnp.float32) -> jax.Array:
@@ -97,7 +128,7 @@ def stft(x: jax.Array, cfg: TransformConfig, data_size: int) -> jax.Array:
     """
     frames = frame_signal(x, cfg, data_size)
     w = analysis_window(cfg.fft_size, frames.dtype)
-    return jnp.fft.rfft(frames * w, axis=-1)
+    return rfft(frames * w, cfg.fft_size)
 
 
 def overlap_add(frames: jax.Array, cfg: TransformConfig) -> jax.Array:
@@ -124,7 +155,7 @@ def istft(spec: jax.Array, cfg: TransformConfig) -> jax.Array:
     Returns (..., n_frames*hop + fft_size - hop) audio; a mask-of-ones round
     trip reproduces the input at unity gain (Executable/stftFix.c:496-579).
     """
-    frames = jnp.fft.irfft(spec, n=cfg.fft_size, axis=-1)
+    frames = irfft(spec, cfg.fft_size)
     w = synthesis_window(cfg, frames.dtype)
     return overlap_add(frames * w, cfg)
 

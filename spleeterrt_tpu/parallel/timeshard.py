@@ -88,7 +88,7 @@ def separate_4stem_timesharded(
         # Zero frames at/after the reference's computed range.
         gframe = d * frames_per_dev + jnp.arange(frames_per_dev)
         frames = jnp.where((gframe < n_comp)[None, :, None], frames, 0.0)
-        spec = jnp.fft.rfft(frames * wa, axis=-1)  # (2, F_local, bins)
+        spec = transform.rfft(frames * wa, fft)  # (2, F_local, bins)
 
         # Local tiles -> fused multi-stem U-Net (params replicated).
         bl, t = cfg.bin_limit, cfg.time_step
@@ -106,7 +106,7 @@ def separate_4stem_timesharded(
         )
         masked = jnp.concatenate([masked_in, masked_out], axis=-1)
 
-        frames_t = jnp.fft.irfft(masked, n=fft, axis=-1) * ws  # (4,2,F,fft)
+        frames_t = transform.irfft(masked, fft) * ws  # (4,2,F,fft)
         # Local overlap-add -> (4, 2, chunk + halo).
         lap = tcfg.overlap
         chunks4 = frames_t.reshape(4, 2, frames_per_dev, lap, hop)

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spleeterrt_tpu.config import STEM_MODE_4, SeparatorConfig
+from spleeterrt_tpu.core import transform
 from spleeterrt_tpu.core.model import Params, multi_stem_forward
 
 # Fixed engine geometry (VST/Source/Spleeter4Stems.h:1-13).
@@ -143,7 +144,7 @@ def block_step(
     masked_in = spec[..., :bl] * m_in.astype(jnp.complex64)
     masked_out = spec[..., bl:] * uw[:, None, None, None].astype(jnp.complex64)
     masked = jnp.concatenate([masked_in, masked_out], axis=-1)
-    frames_t = jnp.fft.irfft(masked, n=FFT_SIZE, axis=-1)  # (S,2,T,FFT)
+    frames_t = transform.irfft(masked, FFT_SIZE)  # (S,2,T,FFT)
     tails = frames_t[..., SAMPLE_SHIFT:] * ws  # (S,2,T,SYNTH_LEN)
     # out hop c = tails[c][:HOP] + tails[c-1][HOP:], c-1 = -1 from carry.
     heads = tails[..., :HOP]
@@ -161,7 +162,7 @@ def block_step(
     frames = jnp.concatenate(
         [blocks[:, k : k + t, :] for k in range(FFT_SIZE // HOP)], axis=-1
     )
-    spec_cur = jnp.fft.rfft(frames * wa, axis=-1)  # (2, T, N_BINS)
+    spec_cur = transform.rfft(frames * wa, FFT_SIZE)  # (2, T, N_BINS)
 
     # Masks for the block now entering the spec2 slot: computed from ITS OWN
     # magnitudes, exactly what the C engine's background threads (started at
