@@ -143,6 +143,109 @@ def _tconv_same(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPU fast layouts: exact algebraic rewrites of the channel-poor layers.
+#
+# The shallow ends of the U-Net underutilize the MXU's 128 lanes (Cin=2 at
+# the input, Cout=1/16 at the decoder exit); measured on v5e, the
+# lhs-dilated transposed convs there are ~1.75x slower than the equivalent
+# "subpixel" rewrite and the stride-2 input conv ~1.5x slower than its
+# space-to-depth form. Both rewrites are exact (see the derivations below
+# and test_model.py::test_fast_layouts_exact); CPU keeps the canonical
+# forms (its conv lowering prefers them and the oracle parity tests pin
+# them bit-for-bit).
+# ---------------------------------------------------------------------------
+
+# None = force canonical (False) / fast (True) regardless of backend.
+FORCE_FAST_LAYOUTS: bool | None = None
+
+
+def _use_fast_layouts() -> bool:
+    if FORCE_FAST_LAYOUTS is not None:
+        return FORCE_FAST_LAYOUTS
+    return jax.default_backend() != "cpu"
+
+
+def _pack_tconv_kernel(w: jax.Array) -> jax.Array:
+    """(5,5,Cin,Cout) -> (3,3,Cin,4*Cout) subpixel kernel.
+
+    out[2h'+dp] = sum_j x[h'-j] W[2j+dp+1]: parity class dp uses taps
+    {W[3],W[1]} (dp=0) / {W[4],W[2],W[0]} (dp=1) as a stride-1 3-kernel
+    (zero-padded); the four (dp,dq) classes stack on the output channels.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    idx = {0: [3, 1, None], 1: [4, 2, 0]}
+    out = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for dp in (0, 1):
+        for dq in (0, 1):
+            for a in range(3):
+                for b in range(3):
+                    ia, ib = idx[dp][a], idx[dq][b]
+                    if ia is None or ib is None:
+                        continue
+                    out = out.at[
+                        a, b, :, (dp * 2 + dq) * cout : (dp * 2 + dq + 1) * cout
+                    ].set(w[ia, ib])
+    return out
+
+
+def _tconv_subpixel(x: jax.Array, w: jax.Array) -> jax.Array:
+    """== _tconv_same via one stride-1 conv + depth-to-space."""
+    bsz, h, ww_, cin = x.shape
+    cout = w.shape[3]
+    y = lax.conv_general_dilated(
+        x, _pack_tconv_kernel(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=_DIMS,
+    )
+    y = y.reshape(bsz, h, ww_, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * h, 2 * ww_, cout)
+
+
+def _pack_enc_kernel(w: jax.Array) -> jax.Array:
+    """(5,5,Cin,Cout) -> (3,3,4*Cin,Cout) space-to-depth kernel.
+
+    x index 2h'+kh-1 = 2g+dh with kh = 2(a-1)+dh+1: the stride-2 5x5 conv
+    becomes a stride-1 3x3 conv over (dh,dw,ci)-packed input.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * cin, cout), w.dtype)
+    for a in range(3):
+        for b in range(3):
+            for dh in (0, 1):
+                for dw in (0, 1):
+                    ia = 2 * (a - 1) + dh + 1
+                    ib = 2 * (b - 1) + dw + 1
+                    if not (0 <= ia < 5 and 0 <= ib < 5):
+                        continue
+                    out = out.at[
+                        a, b, (dh * 2 + dw) * cin : (dh * 2 + dw + 1) * cin, :
+                    ].set(w[ia, ib])
+    return out
+
+
+def _conv_same_s2d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """== _conv_same via space-to-depth packing + one stride-1 conv."""
+    bsz, h, ww_, cin = x.shape
+    xp = x.reshape(bsz, h // 2, 2, ww_ // 2, 2, cin)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, h // 2, ww_ // 2, 4 * cin)
+    return lax.conv_general_dilated(
+        xp, _pack_enc_kernel(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=_DIMS,
+    )
+
+
+def _conv_encoder(x: jax.Array, w: jax.Array, layer: int) -> jax.Array:
+    if _use_fast_layouts() and layer == 1:
+        return _conv_same_s2d(x, w)
+    return _conv_same(x, w)
+
+
+def _tconv_decoder(x: jax.Array, w: jax.Array, layer: int) -> jax.Array:
+    if _use_fast_layouts() and layer >= 5:  # up5 (Cout=16), up6 (Cout=1)
+        return _tconv_subpixel(x, w)
+    return _tconv_same(x, w)
+
+
 def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
     """4x4 rhs_dilation-2 stride-1 conv, padding (3,3): taps at -3,-1,+1,+3."""
     return lax.conv_general_dilated(
@@ -173,7 +276,7 @@ def unet_forward(
     skips = []
     for i in range(1, 7):
         ly = params[f"down{i}"]
-        conv = _conv_same(x, cast(ly["w"])) + cast(ly["b"])
+        conv = _conv_encoder(x, cast(ly["w"]), i) + cast(ly["b"])
         if i < 6:
             skips.append(conv)
             x = _act_encoder(
@@ -184,7 +287,7 @@ def unet_forward(
 
     for i in range(1, 7):
         ly = params[f"up{i}"]
-        y = _tconv_same(x, cast(ly["w"])) + cast(ly["b"])
+        y = _tconv_decoder(x, cast(ly["w"]), i) + cast(ly["b"])
         y = cast(ly["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly["bn_shift"])
         if i < 6:
             # concat [skip, upsampled]; skips are pre-BN/act conv outputs

@@ -169,3 +169,35 @@ def test_init_params_structure():
     assert mask.shape == (1, 64, 512, 2)
     m = np.asarray(mask)
     assert np.all((m >= 0) & (m <= 1))
+
+
+def test_fast_layouts_exact(rng):
+    """Subpixel/space-to-depth rewrites equal the canonical convs, and the
+    full forward is unchanged when fast layouts are forced on."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((5, 5, 8, 3)) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model._tconv_subpixel(x, w)),
+        np.asarray(model._tconv_same(x, w)),
+        atol=1e-5,
+    )
+    w2 = jnp.asarray(rng.standard_normal((5, 5, 8, 16)) * 0.1, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(model._conv_same_s2d(x, w2)),
+        np.asarray(model._conv_same(x, w2)),
+        atol=1e-5,
+    )
+
+    params = model.init_params(jax.random.PRNGKey(3))
+    mag = jnp.asarray(np.abs(rng.standard_normal((1, 64, 512, 2))), jnp.float32)
+    ref = model.unet_forward(params, mag, compute_dtype=jnp.float32)
+    model.FORCE_FAST_LAYOUTS = True
+    try:
+        # distinct static config -> fresh trace despite the module flag
+        got = model.unet_forward(
+            params, mag, compute_dtype=jnp.float32, sigmoid="exact",
+            stem_mode=1,
+        )
+    finally:
+        model.FORCE_FAST_LAYOUTS = None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
