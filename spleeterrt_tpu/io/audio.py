@@ -178,6 +178,12 @@ def load_audio(path: str | os.PathLike) -> AudioData:
     ext = os.path.splitext(str(path))[1].lower()
     if ext == ".wav":
         return read_wav(path)
+    if ext == ".flac":
+        from spleeterrt_tpu.io import flac as flac_codec
+
+        with open(path, "rb") as f:
+            samples, rate = flac_codec.decode_flac(f.read())
+        return AudioData(samples, rate)
     for reader in (_read_via_soundfile, _read_via_ffmpeg):
         out = reader(path)
         if out is not None:

@@ -38,16 +38,17 @@ PRECISION = jax.lax.Precision.HIGHEST
 
 @functools.cache
 def _tables():
+    # NumPy constants (not jnp): safe to cache across jit traces.
     a = np.arange(R)
     w64 = np.exp(-2j * np.pi * np.outer(a, a) / R)  # (a, c)
     b = np.arange(R)
     c = np.arange(R)
     tw = np.exp(-2j * np.pi * np.outer(b, c) / N)  # (b, c)
     return (
-        jnp.asarray(w64.real, jnp.float32),
-        jnp.asarray(w64.imag, jnp.float32),
-        jnp.asarray(tw.real, jnp.float32),
-        jnp.asarray(tw.imag, jnp.float32),
+        np.asarray(w64.real, np.float32),
+        np.asarray(w64.imag, np.float32),
+        np.asarray(tw.real, np.float32),
+        np.asarray(tw.imag, np.float32),
     )
 
 
