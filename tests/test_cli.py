@@ -56,3 +56,33 @@ def test_cli_arg_clamping(tmp_path, rng):
         "--random-weights", "--fp32", "--output-dir", str(tmp_path),
     ])
     assert rc == 0
+
+
+def test_stream_cli(tmp_path, rng):
+    from spleeterrt_tpu import cli_stream
+
+    path, _ = _make_input(tmp_path, rng, n=70000)
+    out = tmp_path / "stems"
+    rc = cli_stream.main([
+        str(path), "--random-weights", "--time-step", "64", "--bin-limit",
+        "512", "--fp32", "--split", "--output", str(out),
+        "--channel-order", "vocals",
+    ])
+    assert rc == 0
+    for name in ("vocals", "drums", "bass", "accompaniment"):
+        got = audio.read_wav(out / f"{name}.wav")
+        assert got.samples.shape == (2, 70000)
+
+
+def test_stream_cli_8ch(tmp_path, rng):
+    from spleeterrt_tpu import cli_stream
+
+    path, _ = _make_input(tmp_path, rng, n=66000)
+    out = tmp_path / "eight.wav"
+    rc = cli_stream.main([
+        str(path), "--random-weights", "--time-step", "64", "--bin-limit",
+        "512", "--fp32", "--output", str(out),
+    ])
+    assert rc == 0
+    got = audio.read_wav(out)
+    assert got.samples.shape == (8, 66000)
