@@ -248,10 +248,26 @@ def _decode_predicted(
     return out
 
 
-def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """FLAC bytes -> (float32 planar (channels, n), sample_rate)."""
+def decode_flac(
+    data: bytes, prefer_native: bool = True
+) -> tuple[np.ndarray, int]:
+    """FLAC bytes -> (float32 planar (channels, n), sample_rate).
+
+    Uses the C++ decoder (spleeterrt_tpu/native/flacdec.cpp) when built --
+    the Python path is the reference implementation and parity oracle.
+    """
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
+    if prefer_native:
+        try:
+            from spleeterrt_tpu import native
+
+            out = native.decode_flac_native(data)
+            if out is not None:
+                return out
+        except (OSError, ValueError):
+            pass  # fall back to the Python decoder
+
     pos = 4
     info = None
     while True:

@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "audioio.cpp")
+_SRC_FLAC = os.path.join(_HERE, "flacdec.cpp")
 _LIB_PATH = os.path.join(_HERE, "_audioio.so")
 _lock = threading.Lock()
 _lib = None
@@ -31,12 +32,12 @@ u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 def build(force: bool = False) -> str | None:
     """Compile audioio.cpp -> _audioio.so; returns path or None."""
     if not force and os.path.exists(_LIB_PATH):
-        src_m = os.path.getmtime(_SRC)
+        src_m = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_FLAC))
         if os.path.getmtime(_LIB_PATH) >= src_m:
             return _LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, _SRC_FLAC, "-o", _LIB_PATH,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -71,6 +72,14 @@ def get_lib():
         lib.srt_split_channels.argtypes = [f32p, i32, u64, u64, u64, f32p]
         lib.srt_join_channels.argtypes = [f32p, i32, u64, u64, u64, f32p]
         lib.srt_version.restype = ctypes.c_char_p
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.srt_flac_info.argtypes = [
+            u8p, u64, ctypes.POINTER(i32), ctypes.POINTER(i32),
+            ctypes.POINTER(i32), ctypes.POINTER(u64), ctypes.POINTER(u64),
+        ]
+        lib.srt_flac_info.restype = i32
+        lib.srt_flac_decode.argtypes = [u8p, u64, u64, i32, i32, u64, i32p]
+        lib.srt_flac_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -115,3 +124,28 @@ def resample_native(
     if rc != 0:
         raise ValueError(f"native resample failed ({rc})")
     return out
+
+
+def decode_flac_native(data: bytes):
+    """FLAC bytes -> (float32 planar (ch, n), rate); None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ch, rate, bps = i32(), i32(), i32()
+    total, off = u64(), u64()
+    rc = lib.srt_flac_info(
+        buf, buf.size, ctypes.byref(ch), ctypes.byref(rate),
+        ctypes.byref(bps), ctypes.byref(total), ctypes.byref(off),
+    )
+    if rc != 0:
+        raise ValueError(f"native FLAC parse failed ({rc})")
+    n = total.value
+    out = np.zeros((ch.value, n), np.int32)
+    done = lib.srt_flac_decode(
+        buf, buf.size, off.value, ch.value, bps.value, n, out
+    )
+    if done < 0:
+        raise ValueError(f"native FLAC decode failed ({done})")
+    scale = np.float32(1 << (bps.value - 1))
+    return out[:, :done].astype(np.float32) / scale, rate.value

@@ -133,3 +133,19 @@ def test_load_audio_flac(tmp_path, rng):
     got = audio.load_audio(path)
     assert got.sample_rate == 22050
     np.testing.assert_allclose(got.samples, x, atol=1.0 / 32768.0)
+
+
+def test_python_and_native_decoders_agree(rng):
+    """Both decoder implementations on the same streams, incl. LPC frames."""
+    x = np.clip(rng.standard_normal((2, 6000)) * 0.4, -0.99, 0.99).astype(
+        np.float32
+    )
+    data = flac.encode_flac(x, 44100, block_size=512)
+    py, rate_py = flac.decode_flac(data, prefer_native=False)
+    from spleeterrt_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    nat, rate_nat = native.decode_flac_native(data)
+    assert rate_py == rate_nat
+    np.testing.assert_array_equal(py, nat)
