@@ -2,20 +2,31 @@
 
 kernels/fastfft.py showed the matmul FFT formulation ties XLA's FFT when
 each stage round-trips HBM (both ~19 ms for the 4-stem iSTFT batch). This
-kernel keeps every intermediate of the 64x64 six-step decomposition in VMEM:
+kernel keeps every intermediate of a 64x64 two-stage decomposition in VMEM:
 HBM traffic drops to the roofline minimum (read 2049 complex bins, write
 4096 real samples per frame) and the stage matmuls run back-to-back on the
 MXU.
 
-Grid: one program per block of FRAMES_PER_BLOCK frames. Inputs are separate
-re/im planes (Pallas has no complex dtype); DFT/twiddle tables ride along as
-small VMEM operands. The synthesis window multiply of the iSTFT is fused in
-(pass `window=None` for a plain irfft).
+Formulation (chosen to avoid lane reversals and a final transpose, neither
+of which Mosaic lowers well): for a Hermitian spectrum X,
 
-Parity: tests/test_pallas_fft.py checks bit-level agreement with
-kernels/fastfft.py (same arithmetic, same order) and jnp.fft.irfft
-tolerance on CPU interpret mode; the TPU path is exercised by the
-transform-level dispatch tests.
+    out[n] = Re( (2/N) * sum_{k=0}^{2048} w_k X_k e^{+2 pi i k n / N} )
+
+with w_0 = w_{2048} = 1/2 (imaginary parts of DC/Nyquist zeroed). Factoring
+k = c + 64 d, n = 64 a + b:
+
+    out[64a + b] = Re sum_c E64[c, a] * ( T[c, b] * sum_d Y[d, c] E64[d, b] )
+
+where Y[d, c] = w_k X_k laid out exactly as the (pad to 4096 =) 64x64
+reshape of the bin axis, E64[i, j] = exp(+2 pi i i j / 64) and
+T[c, b] = exp(+2 pi i c b / 4096). Stage 1 contracts d via dot_general
+(no transpose), the twiddle is elementwise, stage 2 contracts c and lands
+directly in [a, b] = row-major time order. 4 + 2 real matmuls per stage
+pair (output is real-only).
+
+The synthesis window multiply of the iSTFT is fused (pass a registered
+window key); `window_key=None` gives a plain irfft. Parity:
+tests/test_pallas_fft.py (interpret mode vs jnp.fft.irfft).
 """
 
 from __future__ import annotations
@@ -28,70 +39,64 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spleeterrt_tpu.kernels.fastfft import N, R, _tables
-
+N = 4096
+R = 64
 FRAMES_PER_BLOCK = 16
+N_BINS = N // 2 + 1
 
 
-def _irfft_kernel(re_ref, im_ref, wr_ref, wi_ref, tr_ref, ti_ref, win_ref,
+@functools.cache
+def _inv_tables():
+    i = np.arange(R)
+    e64 = np.exp(2j * np.pi * np.outer(i, i) / R)  # (i, j), symmetric
+    tw = np.exp(2j * np.pi * np.outer(i, i) / N)  # T[c, b]
+    return (
+        np.asarray(e64.real, np.float32),
+        np.asarray(e64.imag, np.float32),
+        np.asarray(tw.real, np.float32),
+        np.asarray(tw.imag, np.float32),
+    )
+
+
+def _irfft_kernel(yr_ref, yi_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
                   out_ref, *, windowed: bool):
-    fb = re_ref.shape[0]
-    s_r = re_ref[:]  # (FB, 2049)
-    s_i = im_ref[:]
-    # Hermitian expansion with conjugation folded in (inverse = conj path):
-    # x = conj(full spectrum): x_r = [s_r, rev(s_r[1:2048])],
-    # x_i = [-s_i, rev(s_i[1:2048])] with Im(DC)=Im(Nyq)=0.
-    mid_r = jnp.flip(s_r[:, 1:2048], axis=1)
-    mid_i = jnp.flip(s_i[:, 1:2048], axis=1)
-    first_i = -s_i
-    # zero the DC and Nyquist imaginary parts (jnp.fft.irfft semantics)
-    col = jax.lax.broadcasted_iota(jnp.int32, (fb, 2049), 1)
-    first_i = jnp.where((col == 0) | (col == 2048), 0.0, first_i)
-    x_r = jnp.concatenate([s_r, mid_r], axis=1)  # (FB, 4096)
-    x_i = jnp.concatenate([first_i, mid_i], axis=1)
-
-    wr = wr_ref[:]
-    wi = wi_ref[:]
+    fb = yr_ref.shape[0]
+    # Y laid out (FB, 64, 64) = [f, d, c]; bins >= 2049 are zero-padded and
+    # the w_k * 2/N scaling was applied host-side.
+    y_r = yr_ref[:]
+    y_i = yi_ref[:]
+    er = er_ref[:]
+    ei = ei_ref[:]
     tr = tr_ref[:]
     ti = ti_ref[:]
 
-    # [f, a, b] -> [f, b, a] -> 2D GEMMs over the trailing dim.
-    def stage(x2_r, x2_i, post_twiddle):
-        # x2: (FB, 64, 64) indexed [*, b, a]; contract a with W64.
-        m_r = x2_r.reshape(fb * R, R)
-        m_i = x2_i.reshape(fb * R, R)
-        y_r = (
-            jnp.dot(m_r, wr, preferred_element_type=jnp.float32)
-            - jnp.dot(m_i, wi, preferred_element_type=jnp.float32)
-        ).reshape(fb, R, R)
-        y_i = (
-            jnp.dot(m_r, wi, preferred_element_type=jnp.float32)
-            + jnp.dot(m_i, wr, preferred_element_type=jnp.float32)
-        ).reshape(fb, R, R)
-        if post_twiddle:
-            z_r = y_r * tr - y_i * ti
-            z_i = y_r * ti + y_i * tr
-            return z_r, z_i
-        return y_r, y_i
-
-    xa_r = x_r.reshape(fb, R, R)  # [f, a, b]
-    xa_i = x_i.reshape(fb, R, R)
-    xt_r = jnp.swapaxes(xa_r, 1, 2)  # [f, b, a]
-    xt_i = jnp.swapaxes(xa_i, 1, 2)
-    z_r, z_i = stage(xt_r, xt_i, post_twiddle=True)  # [f, b, c] * T[b, c]
-    z_r = jnp.swapaxes(z_r, 1, 2)  # [f, c, b]
-    z_i = jnp.swapaxes(z_i, 1, 2)
-    # Last stage: real part only. Re(Z W) = Zr Wr - Zi Wi.
-    m_r = z_r.reshape(fb * R, R)
-    m_i = z_i.reshape(fb * R, R)
-    o_r = (
-        jnp.dot(m_r, wr, preferred_element_type=jnp.float32)
-        - jnp.dot(m_i, wi, preferred_element_type=jnp.float32)
+    # Stage 1: Z[f, c, b] = sum_d Y[f, d, c] E64[d, b]. Contract d by
+    # transposing Y to [f, c, d] (VMEM transpose) then one 2D matmul.
+    yt_r = jnp.swapaxes(y_r, 1, 2).reshape(fb * R, R)  # [f*c, d]
+    yt_i = jnp.swapaxes(y_i, 1, 2).reshape(fb * R, R)
+    z_r = (
+        jnp.dot(yt_r, er, preferred_element_type=jnp.float32)
+        - jnp.dot(yt_i, ei, preferred_element_type=jnp.float32)
+    ).reshape(fb, R, R)  # [f, c, b]
+    z_i = (
+        jnp.dot(yt_r, ei, preferred_element_type=jnp.float32)
+        + jnp.dot(yt_i, er, preferred_element_type=jnp.float32)
     ).reshape(fb, R, R)
-    # k = c + 64 d: layout [d, c]
-    out = jnp.swapaxes(o_r, 1, 2).reshape(fb, N) * (1.0 / N)
+    # Twiddle T[c, b].
+    w_r = z_r * tr - z_i * ti
+    w_i = z_r * ti + z_i * tr
+    # Stage 2: out[f, a, b] = Re sum_c E64[c, a] W[f, c, b]
+    #        = sum_c er[c, a] w_r[f, c, b] - ei[c, a] w_i[f, c, b].
+    # Contract c: transpose W to [f, b, c].
+    wt_r = jnp.swapaxes(w_r, 1, 2).reshape(fb * R, R)  # [f*b, c]
+    wt_i = jnp.swapaxes(w_i, 1, 2).reshape(fb * R, R)
+    o = (
+        jnp.dot(wt_r, er, preferred_element_type=jnp.float32)
+        - jnp.dot(wt_i, ei, preferred_element_type=jnp.float32)
+    ).reshape(fb, R, R)  # [f, b, a]
+    out = jnp.swapaxes(o, 1, 2)  # [f, a, b]; n = 64 a + b flattens outside
     if windowed:
-        out = out * win_ref[:].reshape(1, N)
+        out = out * win_ref[:].reshape(1, R, R)
     out_ref[:] = out
 
 
@@ -102,38 +107,47 @@ def _irfft_call(s_r, s_i, window_key=None):
     window = me._WINDOWS.get(window_key) if window_key else None
     win = jnp.asarray(
         window if window is not None else np.ones(N, np.float32), jnp.float32
-    ).reshape(1, N)
+    ).reshape(1, R, R)  # [a, b] layout of n = 64 a + b
     batch = s_r.shape[:-1]
     total = int(np.prod(batch))
     fb = FRAMES_PER_BLOCK
     n_pad = -(-total // fb) * fb
-    s_r2 = s_r.reshape(total, 2049)
-    s_i2 = s_i.reshape(total, 2049)
-    if n_pad != total:
-        s_r2 = jnp.pad(s_r2, ((0, n_pad - total), (0, 0)))
-        s_i2 = jnp.pad(s_i2, ((0, n_pad - total), (0, 0)))
-    wr, wi, tr, ti = _tables()
+
+    # Host-side prep (fused by XLA into one cheap pass): zero DC/Nyquist
+    # imag, apply w_k * 2/N, pad bins to 4096 and reshape to [d, c].
+    scale = np.full(N_BINS, 2.0 / N, np.float32)
+    scale[0] = scale[-1] = 1.0 / N
+    s_r2 = s_r.reshape(total, N_BINS) * scale
+    s_i2 = s_i.reshape(total, N_BINS) * scale
+    s_i2 = s_i2.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    s_r2 = jnp.pad(s_r2, ((0, n_pad - total), (0, N - N_BINS)))
+    s_i2 = jnp.pad(s_i2, ((0, n_pad - total), (0, N - N_BINS)))
+    y_r = s_r2.reshape(n_pad, R, R)  # k = c + 64 d -> [d, c]
+    y_i = s_i2.reshape(n_pad, R, R)
+    er, ei, tr, ti = _inv_tables()
 
     out = pl.pallas_call(
         functools.partial(_irfft_kernel, windowed=window is not None),
-        out_shape=jax.ShapeDtypeStruct((n_pad, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, R, R), jnp.float32),
         grid=(n_pad // fb,),
         in_specs=[
-            pl.BlockSpec((fb, 2049), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 2049), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, R, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, R, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((fb, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (fb, R, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
     )(
-        s_r2, s_i2,
-        jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(tr), jnp.asarray(ti),
+        y_r, y_i,
+        jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr), jnp.asarray(ti),
         win,
     )
-    return out[:total].reshape(*batch, N)
+    return out.reshape(n_pad, N)[:total].reshape(*batch, N)
 
 
 # Registry of fusable windows (static keys -> numpy arrays).
