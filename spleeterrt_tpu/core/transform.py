@@ -58,11 +58,38 @@ def rfft(frames: jax.Array, n: int) -> jax.Array:
     return jnp.fft.rfft(frames, axis=-1)
 
 
-def irfft(spec: jax.Array, n: int) -> jax.Array:
-    """Inverse real FFT along the last axis, MXU-dispatched for n == 4096."""
+def irfft(spec: jax.Array, n: int, window_key: str | None = None) -> jax.Array:
+    """Inverse real FFT along the last axis.
+
+    n == 4096 on accelerators uses the fused Pallas kernel
+    (kernels/pallas_fft.py, ~1.6x XLA's FFT, optional fused window);
+    otherwise jnp.fft. `window_key` must be registered with
+    pallas_fft.register_window and is applied post-transform.
+    """
     if n == fastfft.N and _use_matmul_fft():
-        return fastfft.irfft4096(spec)
-    return jnp.fft.irfft(spec, n=n, axis=-1)
+        from spleeterrt_tpu.kernels import pallas_fft
+
+        return pallas_fft.irfft4096_pallas(spec, window_key)
+    out = jnp.fft.irfft(spec, n=n, axis=-1)
+    if window_key is not None:
+        from spleeterrt_tpu.kernels import pallas_fft
+
+        out = out * jnp.asarray(pallas_fft._WINDOWS[window_key])
+    return out
+
+
+def synthesis_window_key(cfg: TransformConfig) -> str:
+    """Register (once) and return the fused-window key for istft synthesis."""
+    from spleeterrt_tpu.kernels import pallas_fft
+
+    key = f"synth_{cfg.fft_size}_{cfg.overlap}"
+    if key not in pallas_fft._WINDOWS:
+        i = np.arange(cfg.fft_size, dtype=np.float64)
+        w = 0.5 * (1.0 - np.cos(2.0 * np.pi * (i + 0.5) / cfg.fft_size))
+        pallas_fft.register_window(
+            key, (w * cfg.synthesis_gain).astype(np.float32)
+        )
+    return key
 
 
 def analysis_window(fft_size: int, dtype=jnp.float32) -> jax.Array:
@@ -155,9 +182,8 @@ def istft(spec: jax.Array, cfg: TransformConfig) -> jax.Array:
     Returns (..., n_frames*hop + fft_size - hop) audio; a mask-of-ones round
     trip reproduces the input at unity gain (Executable/stftFix.c:496-579).
     """
-    frames = irfft(spec, cfg.fft_size)
-    w = synthesis_window(cfg, frames.dtype)
-    return overlap_add(frames * w, cfg)
+    frames = irfft(spec, cfg.fft_size, synthesis_window_key(cfg))
+    return overlap_add(frames, cfg)
 
 
 def offline_pad_sizes(num_pcm_frames: int, cfg: TransformConfig) -> tuple[int, int]:
