@@ -25,6 +25,8 @@ STEM_FILENAMES = {
     "accompaniment": "Accompaniment",
     "drums": "Drum",
     "bass": "Bass",
+    "piano": "Piano",
+    "other": "Other",
 }
 
 
@@ -34,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native Spleeter source separation (offline CLI).",
     )
     p.add_argument("audio", help="input audio file (WAV; FLAC/MP3 via ffmpeg)")
-    p.add_argument("--stems", type=int, default=2, choices=(2, 3, 4))
+    p.add_argument("--stems", type=int, default=2, choices=(2, 3, 4, 5))
     p.add_argument("--time-step", type=int, default=512,
                    help="spectrogram tile height in frames (default 512)")
     p.add_argument("--bin-limit", type=int, default=1024,
@@ -47,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random weights (smoke/benchmark; model.7z is not "
                         "distributable)")
     p.add_argument("--output-dir", default=".")
+    p.add_argument("--output-rate", default="44100",
+                   help="output sample rate: a number, or 'input' to "
+                        "resample stems back to the source rate")
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bfloat16 U-Net compute (default)")
     p.add_argument("--fp32", dest="bf16", action="store_false")
@@ -86,6 +91,9 @@ def _load_weights(args, cfg):
             return {"params": ps[0]}
         if cfg.num_stems == 3:
             return {"params4": ps[0], "params2": ps[1]}
+        if cfg.num_stems == 5:
+            keys5 = jax.random.split(key, 5)
+            ps = [model.init_params(k) for k in keys5]
         return {"stacked_params": weights.stack_params(ps)}
 
     src = args.weights
@@ -158,6 +166,12 @@ def main(argv=None) -> int:
     print(f"Separation ({cfg.num_stems} stems): {dt:.3f} s "
           f"({rtf:.1f}x real time, includes compile)")
 
+    out_rate = 44100
+    if args.output_rate == "input":
+        out_rate = data.sample_rate
+    else:
+        out_rate = int(args.output_rate)
+
     base = os.path.splitext(os.path.basename(args.audio))[0]
     os.makedirs(args.output_dir, exist_ok=True)
     t0 = time.perf_counter()
@@ -165,7 +179,10 @@ def main(argv=None) -> int:
         out = os.path.join(
             args.output_dir, f"{base}_{STEM_FILENAMES[stem]}.wav"
         )
-        audio_io.write_wav(out, np.asarray(x), 44100, fmt="float32")
+        y = np.asarray(x)
+        if out_rate != 44100:
+            y = resample.resample(y, 44100, out_rate)
+        audio_io.write_wav(out, y, out_rate, fmt="float32")
         print(f"Saved {out}")
     print(f"Save: {time.perf_counter() - t0:.3f} s")
     return 0

@@ -62,6 +62,8 @@ STEM_MODE_4 = 1  # ELU everywhere (reference stemMode=1)
 STEMS_4 = ("drums", "bass", "accompaniment", "vocals")
 STEMS_2 = ("vocals", "accompaniment")
 STEMS_3 = ("drums", "vocals", "accompaniment")
+# 5-stem family (Spleeter upstream's 5stems model; beyond the reference).
+STEMS_5 = ("vocals", "drums", "bass", "piano", "other")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,7 +81,8 @@ class SeparatorConfig:
     bin_limit: int = 1024
     # Spectrogram tile height in frames (timeStep); reference clamps >= 64.
     time_step: int = 512
-    # 2, 3 or 4 output stems (reference: 2/3 offline, 4 in the VST engine).
+    # 2, 3, 4 or 5 output stems (reference: 2/3 offline, 4 in the VST
+    # engine; 5 mirrors upstream Spleeter's 5stems model).
     num_stems: int = 2
     # Gain applied to bins >= bin_limit in the offline path
     # (unaffectedWeight, Executable/main.c:773).
@@ -93,8 +96,8 @@ class SeparatorConfig:
     sigmoid: Literal["exact", "lut"] = "exact"
 
     def __post_init__(self):
-        if self.num_stems not in (2, 3, 4):
-            raise ValueError("num_stems must be 2, 3 or 4")
+        if self.num_stems not in (2, 3, 4, 5):
+            raise ValueError("num_stems must be 2, 3, 4 or 5")
         if self.bin_limit % 64 or self.time_step % 64:
             # The U-Net halves (time, bins) six times; the reference floors
             # odd dims (Executable/spleeter.c:113-119) but every supported
@@ -107,4 +110,4 @@ class SeparatorConfig:
 
     @property
     def stem_names(self) -> tuple[str, ...]:
-        return {2: STEMS_2, 3: STEMS_3, 4: STEMS_4}[self.num_stems]
+        return {2: STEMS_2, 3: STEMS_3, 4: STEMS_4, 5: STEMS_5}[self.num_stems]

@@ -131,29 +131,44 @@ def separate_3stem(
     return jnp.stack([drums, vocals, accompaniment])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def separate_4stem(
-    stacked_params: Params, audio: jax.Array, cfg: SeparatorConfig
+# Out-of-band weights per stem family: the RT engine fixes 0.25 for every
+# stem except bass at 0.0 (VST/Source/Spleeter4Stems.c:73,281).
+OUT_BAND_4 = (0.25, 0.0, 0.25, 0.25)  # drums, bass, accompaniment, vocals
+OUT_BAND_5 = (0.25, 0.25, 0.0, 0.25, 0.25)  # vocals, drums, bass, piano, other
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_band"))
+def separate_nstem(
+    stacked_params: Params,
+    audio: jax.Array,
+    cfg: SeparatorConfig,
+    out_band: tuple[float, ...],
 ) -> jax.Array:
-    """Four nets over the same input, one mask per stem -- the VST engine's
-    graph (VST/Source/Spleeter4Stems.c:114-147) run offline. Out-of-band bins
-    use the RT engine's fixed weights: 0.25 for drums/accompaniment/vocals,
-    0.0 for bass (VST/Source/Spleeter4Stems.c:73,281).
-    Returns (4, 2ch, out_len) ordered (drums, bass, accompaniment, vocals)."""
+    """S independent nets over the same input, one mask per stem -- the VST
+    engine's graph (VST/Source/Spleeter4Stems.c:114-147) run offline,
+    generalized to any stem count (e.g. upstream Spleeter's 5stems family).
+    Returns (S, 2ch, out_len)."""
     data_size = audio.shape[-1]
     spec = transform.stft(audio, cfg.transform, data_size)
     masks = compute_masks_multi(stacked_params, spec, cfg, STEM_MODE_4)
-    out_band = jnp.asarray([0.25, 0.0, 0.25, 0.25])
+    uw = jnp.asarray(out_band)
 
     # vmap over stems; uw enters as a traced scalar per stem.
-    def one(mask, uw):
+    def one(mask, w):
         in_band = spec[..., : cfg.bin_limit] * mask.astype(spec.real.dtype)
-        oob = spec[..., cfg.bin_limit :] * uw.astype(spec.real.dtype)
+        oob = spec[..., cfg.bin_limit :] * w.astype(spec.real.dtype)
         return transform.istft(
             jnp.concatenate([in_band, oob], axis=-1), cfg.transform
         )
 
-    return jax.vmap(one)(masks, out_band)
+    return jax.vmap(one)(masks, uw)
+
+
+def separate_4stem(
+    stacked_params: Params, audio: jax.Array, cfg: SeparatorConfig
+) -> jax.Array:
+    """4-stem graph ordered (drums, bass, accompaniment, vocals)."""
+    return separate_nstem(stacked_params, audio, cfg, OUT_BAND_4)
 
 
 def separate(
@@ -179,7 +194,9 @@ def separate(
         stems = separate_2stem(params, padded, cfg)
     elif cfg.num_stems == 3:
         stems = separate_3stem(params4, params2, padded, cfg)
-    else:
+    elif cfg.num_stems == 4:
         stems = separate_4stem(stacked_params, padded, cfg)
+    else:
+        stems = separate_nstem(stacked_params, padded, cfg, OUT_BAND_5)
     cropped = stems[..., preshift : preshift + n]
     return dict(zip(cfg.stem_names, cropped))

@@ -114,3 +114,36 @@ def separate_4stem_sharded(
         return jax.vmap(one)(masks, out_band)
 
     return jax.jit(fn)(stacked_params, audio)
+
+
+def separate_batch_sharded(
+    stacked_params: Params,
+    tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Batched multi-track separation with tracks sharded over "data".
+
+    The BASELINE "64 stereo tracks concurrently, sharded across chips"
+    config: every track runs the full N-stem graph; XLA batches all tracks'
+    tiles into the fused U-Net. Returns (n_tracks, S, 2, out_len).
+    """
+    from spleeterrt_tpu.core.separate import OUT_BAND_4, OUT_BAND_5, separate_nstem
+
+    n_stems = jax.tree.leaves(stacked_params)[0].shape[0]
+    out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}.get(
+        n_stems, (0.25,) * n_stems
+    )
+
+    def fn(params, tracks):
+        tracks = jax.lax.with_sharding_constraint(
+            tracks, NamedSharding(mesh, P("data"))
+        )
+        out = jax.vmap(
+            lambda a: separate_nstem(params, a, cfg, out_band)
+        )(tracks)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P("data"))
+        )
+
+    return jax.jit(fn)(stacked_params, tracks)

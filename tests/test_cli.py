@@ -86,3 +86,18 @@ def test_stream_cli_8ch(tmp_path, rng):
     assert rc == 0
     got = audio.read_wav(out)
     assert got.samples.shape == (8, 66000)
+
+
+def test_cli_5stem_and_output_rate(tmp_path, rng):
+    path, _ = _make_input(tmp_path, rng, n=16000, sr=32000)
+    rc = cli.main([
+        str(path), "--stems", "5", "--time-step", "64", "--bin-limit", "512",
+        "--random-weights", "--fp32", "--output-dir", str(tmp_path),
+        "--output-rate", "input",
+    ])
+    assert rc == 0
+    for name in ("Vocal", "Drum", "Bass", "Piano", "Other"):
+        got = audio.read_wav(tmp_path / f"song_{name}.wav")
+        assert got.sample_rate == 32000
+        # 32k in -> 44.1k processing -> back to 32k: ~original length
+        assert abs(got.samples.shape[1] - 16000) < 50

@@ -123,3 +123,18 @@ def test_bf16_pipeline_snr_vs_fp32(rng):
     )
     for stem, m in rep.items():
         assert m["snr_db"] > 30.0, (stem, m)
+
+
+def test_5stem_graph(rng):
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=5, compute_dtype=jnp.float32
+    )
+    stacked = weights.stack_params(
+        [weights.blob_to_params(weights.random_blob(rng, 0.02)) for _ in range(5)]
+    )
+    audio = _audio(rng, 14000)
+    got = separate.separate(audio, stacked_params=stacked, cfg=cfg)
+    assert set(got) == {"vocals", "drums", "bass", "piano", "other"}
+    for stem in got.values():
+        assert stem.shape == audio.shape
+        assert np.all(np.isfinite(np.asarray(stem)))

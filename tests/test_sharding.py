@@ -110,3 +110,18 @@ def test_timesharded_separation_matches_replicated(rng):
             got[i], np.asarray(ref[stem]), atol=5e-5,
             err_msg=f"stem {stem} mismatch",
         )
+
+
+def test_batched_multitrack_sharded(rng):
+    """Tracks sharded over the mesh match per-track separation."""
+    stacked = _stacked(rng)
+    n = 2 * 4096
+    tracks = jnp.asarray(rng.standard_normal((8, 2, n)), jnp.float32) * 0.3
+    padded = jax.vmap(lambda a: transform.pad_offline(a, CFG.transform))(tracks)
+
+    m = pmesh.make_mesh(stem_parallel=1)
+    got = pmesh.separate_batch_sharded(stacked, padded, CFG, m)
+    ref0 = separate.separate_4stem(stacked, padded[3], CFG)
+    np.testing.assert_allclose(
+        np.asarray(got[3]), np.asarray(ref0), atol=2e-5
+    )
