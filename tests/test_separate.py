@@ -138,3 +138,17 @@ def test_5stem_graph(rng):
     for stem in got.values():
         assert stem.shape == audio.shape
         assert np.all(np.isfinite(np.asarray(stem)))
+
+
+def test_wider_config_shapes(rng):
+    """bin_limit=1024, time_step=128 (default-CLI-shaped config) end-to-end."""
+    cfg = SeparatorConfig(
+        bin_limit=1024, time_step=128, num_stems=2, compute_dtype=jnp.float32
+    )
+    params = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    audio = _audio(rng, 150000)
+    got = separate.separate(audio, params=params, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(got["vocals"]) + np.asarray(got["accompaniment"]),
+        audio, atol=1e-5,
+    )
