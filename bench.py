@@ -13,9 +13,17 @@ materializing the full stems would time the tunnel, not the chip.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Repo-local persistent compilation cache: tunneled-TPU compiles are slow.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jaxcache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp
 import numpy as np
 
