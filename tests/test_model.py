@@ -201,3 +201,18 @@ def test_fast_layouts_exact(rng):
     finally:
         model.FORCE_FAST_LAYOUTS = None
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_grouped_multi_stem_matches_vmap(rng):
+    """Stem-grouped forward == vmapped per-stem forwards (exact math)."""
+    from spleeterrt_tpu.core import grouped
+
+    blobs = [weights.random_blob(rng, scale=0.02) for _ in range(4)]
+    stacked = weights.stack_params([weights.blob_to_params(b) for b in blobs])
+    mag = jnp.asarray(
+        np.abs(rng.standard_normal((2, 64, 512, 2))), jnp.float32
+    )
+    ref = model.multi_stem_forward(stacked, mag, 1, jnp.float32)
+    got = grouped.multi_stem_forward_grouped(stacked, mag, 1, jnp.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
