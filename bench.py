@@ -56,6 +56,9 @@ def main():
         return jnp.sum(jnp.abs(out))
 
     float(checksum(stacked, padded))  # compile + warm
+    # NOTE: queueing multiple async dispatches hangs the tunneled (axon)
+    # backend, so this times synchronous calls; each includes a ~28 ms
+    # host<->device round trip that a production serving loop would amortize.
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
