@@ -101,3 +101,31 @@ def test_cli_5stem_and_output_rate(tmp_path, rng):
         assert got.sample_rate == 32000
         # 32k in -> 44.1k processing -> back to 32k: ~original length
         assert abs(got.samples.shape[1] - 16000) < 50
+
+
+def test_cli_quantized_model_path(tmp_path, rng):
+    """End-to-end with a synthetic fp16 two-subnet model file (the exe's
+    embedded model format, Executable/main.c:435-443)."""
+    from spleeterrt_tpu.core import weights
+    import numpy as np_
+
+    flat = (rng.standard_normal(2 * weights.COEFF_BLOB_FLOATS) * 0.02).astype(
+        np_.float32
+    )
+    model_path = tmp_path / "model.dat"
+    model_path.write_bytes(weights.encode_fp16(flat).tobytes())
+
+    path, x = _make_input(tmp_path, rng, n=10000)
+    rc = cli.main([
+        str(path), "--stems", "3", "--time-step", "64", "--bin-limit", "512",
+        "--weights", str(model_path), "--fp32", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    for name in ("Drum", "Vocal", "Accompaniment"):
+        assert (tmp_path / f"song_{name}.wav").exists()
+    # 3-stem conservation: all stems sum to the input.
+    total = sum(
+        audio.read_wav(tmp_path / f"song_{n}.wav").samples
+        for n in ("Drum", "Vocal", "Accompaniment")
+    )
+    np.testing.assert_allclose(total, x, atol=1e-4)
