@@ -129,3 +129,63 @@ def test_cli_quantized_model_path(tmp_path, rng):
         for n in ("Drum", "Vocal", "Accompaniment")
     )
     np.testing.assert_allclose(total, x, atol=1e-4)
+
+
+def test_http_server_separates(tmp_path, rng):
+    import threading
+    import urllib.request
+
+    import io as _io
+    import jax
+
+    from spleeterrt_tpu.config import SeparatorConfig
+    from spleeterrt_tpu.core import model, weights
+    from spleeterrt_tpu.runtime import server as srv_mod
+    import jax.numpy as jnp
+
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    service = srv_mod.SeparationService(cfg, {"params": params})
+    srv = srv_mod.make_server("127.0.0.1", 0, service)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as r:
+            import json
+
+            health = json.loads(r.read())
+            assert health["status"] == "ok"
+
+        x = (rng.standard_normal((2, 12000)) * 0.3).astype(np.float32)
+        path = tmp_path / "in.wav"
+        audio.write_wav(path, x, 44100)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/separate?format=npz",
+            data=path.read_bytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = np.load(_io.BytesIO(r.read()))
+        assert set(out.files) == {"vocals", "accompaniment"}
+        np.testing.assert_allclose(
+            out["vocals"] + out["accompaniment"], x, atol=1e-4
+        )
+
+        # wav8ch format: stem-major channel pairs
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/separate",
+            data=path.read_bytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            order = r.headers["X-Stem-Order"]
+            wav = audio.read_wav(r.read())
+        assert order == "vocals,accompaniment"
+        assert wav.samples.shape == (4, 12000)
+    finally:
+        srv.shutdown()
