@@ -147,3 +147,31 @@ def separate_batch_sharded(
         )
 
     return jax.jit(fn)(stacked_params, tracks)
+
+
+def stream_scan_sharded(
+    stacked_params: Params,
+    audio: jax.Array,  # (2, n_blocks * T * hop)
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+    n_stems: int = 4,
+    out_band: tuple[float, ...] | None = None,
+) -> jax.Array:
+    """Streaming engine with the per-stem U-Nets sharded over "stem".
+
+    The mesh mapping of the VST's 4 background NN threads
+    (VST/Source/Spleeter4Stems.c TASK_NB=5): each stem group's mask
+    inference runs on its own devices; the transform/overlap-add state is
+    replicated (it is <1% of the work). Output matches runtime.stream
+    .stream_scan exactly.
+    """
+    from spleeterrt_tpu.runtime import stream as stream_mod
+
+    if out_band is None:
+        out_band = stream_mod.RT_OUT_BAND[:n_stems]
+    params = shard_params(stacked_params, mesh, stem_sharded=True)
+
+    def fn(params, audio):
+        return stream_mod.stream_scan(params, audio, cfg, n_stems, out_band)
+
+    return jax.jit(fn)(params, audio)

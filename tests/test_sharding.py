@@ -125,3 +125,20 @@ def test_batched_multitrack_sharded(rng):
     np.testing.assert_allclose(
         np.asarray(got[3]), np.asarray(ref0), atol=2e-5
     )
+
+
+def test_stream_scan_sharded_matches_unsharded(rng):
+    """Stem-sharded streaming == single-device streaming, sample-exact."""
+    from spleeterrt_tpu.runtime import stream
+
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=4, compute_dtype=jnp.float32
+    )
+    stacked = _stacked(rng)
+    n = 3 * cfg.time_step * 1024
+    audio = jnp.asarray(rng.standard_normal((2, n)), jnp.float32) * 0.3
+
+    ref = np.asarray(stream.stream_scan(stacked, audio, cfg, 4))
+    m = pmesh.make_mesh(stem_parallel=4)
+    got = np.asarray(pmesh.stream_scan_sharded(stacked, audio, cfg, m, 4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
