@@ -153,6 +153,19 @@ def separate_nstem(
     masks = compute_masks_multi(stacked_params, spec, cfg, STEM_MODE_4)
     uw = jnp.asarray(out_band)
 
+    if cfg.transform.fft_size == 4096 and transform._use_matmul_fft():
+        # Fused Pallas path: mask multiply + inverse FFT + synthesis window
+        # in VMEM; the per-stem masked complex spectrogram never hits HBM.
+        from spleeterrt_tpu.kernels import pallas_fft
+
+        frames = pallas_fft.masked_irfft4096_pallas(
+            spec, masks, uw, cfg.bin_limit,
+            transform.synthesis_window_key(cfg.transform),
+        )
+        return jax.vmap(lambda fr: transform.overlap_add(fr, cfg.transform))(
+            frames
+        )
+
     # vmap over stems; uw enters as a traced scalar per stem.
     def one(mask, w):
         in_band = spec[..., : cfg.bin_limit] * mask.astype(spec.real.dtype)

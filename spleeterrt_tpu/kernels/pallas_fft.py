@@ -168,3 +168,118 @@ def irfft4096_pallas(
         spec.imag.astype(jnp.float32),
         window_key,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mask-fused variant: per-stem soft-mask multiply + out-of-band weight +
+# inverse FFT + synthesis window in one VMEM-resident kernel. Replaces the
+# apply_mask -> irfft -> window chain of the N-stem iSTFT without
+# materializing the per-stem masked complex spectrogram in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _masked_irfft_kernel(
+    yr_ref, yi_ref, m_ref, uw_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
+    out_ref, *, windowed: bool, mask_rows: int,
+):
+    fb = yr_ref.shape[0]
+    mask = m_ref[0]  # (fb, mask_rows, 64)
+    uw = uw_ref[0, 0]
+    fill = jnp.full((fb, R - mask_rows, R), uw, jnp.float32)
+    m_full = jnp.concatenate([mask, fill], axis=1)  # (fb, 64, 64) [d, c]
+    y_r = yr_ref[:] * m_full
+    y_i = yi_ref[:] * m_full
+    er = er_ref[:]
+    ei = ei_ref[:]
+    tr = tr_ref[:]
+    ti = ti_ref[:]
+
+    yt_r = jnp.swapaxes(y_r, 1, 2).reshape(fb * R, R)
+    yt_i = jnp.swapaxes(y_i, 1, 2).reshape(fb * R, R)
+    z_r = (
+        jnp.dot(yt_r, er, preferred_element_type=jnp.float32)
+        - jnp.dot(yt_i, ei, preferred_element_type=jnp.float32)
+    ).reshape(fb, R, R)
+    z_i = (
+        jnp.dot(yt_r, ei, preferred_element_type=jnp.float32)
+        + jnp.dot(yt_i, er, preferred_element_type=jnp.float32)
+    ).reshape(fb, R, R)
+    w_r = z_r * tr - z_i * ti
+    w_i = z_r * ti + z_i * tr
+    wt_r = jnp.swapaxes(w_r, 1, 2).reshape(fb * R, R)
+    wt_i = jnp.swapaxes(w_i, 1, 2).reshape(fb * R, R)
+    o = (
+        jnp.dot(wt_r, er, preferred_element_type=jnp.float32)
+        - jnp.dot(wt_i, ei, preferred_element_type=jnp.float32)
+    ).reshape(fb, R, R)
+    out = jnp.swapaxes(o, 1, 2)  # [f, a, b]
+    if windowed:
+        out = out * win_ref[:].reshape(1, R, R)
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("window_key", "bin_limit"))
+def masked_irfft4096_pallas(
+    spec: jax.Array,  # (..., n_frames, 2049) complex, shared across stems
+    masks: jax.Array,  # (S, ..., n_frames, bin_limit) float32
+    out_band: jax.Array,  # (S,) float32
+    bin_limit: int,
+    window_key: str | None = None,
+) -> jax.Array:
+    """-> (S, ..., n_frames, 4096) real: irfft(spec * mask_s) * window."""
+    if bin_limit % R:
+        raise ValueError("bin_limit must be a multiple of 64")
+    window = _WINDOWS.get(window_key) if window_key else None
+    win = jnp.asarray(
+        window if window is not None else np.ones(N, np.float32), jnp.float32
+    ).reshape(1, R, R)
+    n_stems = masks.shape[0]
+    batch = spec.shape[:-1]
+    total = int(np.prod(batch))
+    fb = FRAMES_PER_BLOCK
+    n_pad = -(-total // fb) * fb
+    mask_rows = bin_limit // R
+
+    scale = np.full(N_BINS, 2.0 / N, np.float32)
+    scale[0] = scale[-1] = 1.0 / N
+    s_r = spec.real.astype(jnp.float32).reshape(total, N_BINS) * scale
+    s_i = spec.imag.astype(jnp.float32).reshape(total, N_BINS) * scale
+    s_i = s_i.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    s_r = jnp.pad(s_r, ((0, n_pad - total), (0, N - N_BINS))).reshape(n_pad, R, R)
+    s_i = jnp.pad(s_i, ((0, n_pad - total), (0, N - N_BINS))).reshape(n_pad, R, R)
+
+    m = masks.astype(jnp.float32).reshape(n_stems, total, mask_rows, R)
+    if n_pad != total:
+        m = jnp.pad(m, ((0, 0), (0, n_pad - total), (0, 0), (0, 0)))
+    uw = out_band.astype(jnp.float32).reshape(n_stems, 1)
+    er, ei, tr, ti = _inv_tables()
+
+    out = pl.pallas_call(
+        functools.partial(
+            _masked_irfft_kernel,
+            windowed=window is not None,
+            mask_rows=mask_rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_stems, n_pad, R, R), jnp.float32),
+        grid=(n_stems, n_pad // fb),
+        in_specs=[
+            pl.BlockSpec((fb, R, R), lambda s, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, R, R), lambda s, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, fb, mask_rows, R), lambda s, i: (s, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1), lambda s, i: (s, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, R), lambda s, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, fb, R, R), lambda s, i: (s, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(s_r, s_i, m, uw, jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr),
+      jnp.asarray(ti), win)
+    out = out.reshape(n_stems, n_pad, N)[:, :total]
+    return out.reshape(n_stems, *batch, N)
