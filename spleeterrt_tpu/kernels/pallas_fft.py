@@ -179,12 +179,12 @@ def irfft4096_pallas(
 
 
 def _masked_irfft_kernel(
-    yr_ref, yi_ref, m_ref, uw_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
+    uw_ref, yr_ref, yi_ref, m_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
     out_ref, *, windowed: bool, mask_rows: int,
 ):
     fb = yr_ref.shape[0]
     mask = m_ref[0]  # (fb, mask_rows, 64)
-    uw = uw_ref[0, 0]
+    uw = uw_ref[pl.program_id(0)]  # scalar-prefetched per-stem weight
     fill = jnp.full((fb, R - mask_rows, R), uw, jnp.float32)
     m_full = jnp.concatenate([mask, fill], axis=1)  # (fb, 64, 64) [d, c]
     y_r = yr_ref[:] * m_full
@@ -251,8 +251,29 @@ def masked_irfft4096_pallas(
     m = masks.astype(jnp.float32).reshape(n_stems, total, mask_rows, R)
     if n_pad != total:
         m = jnp.pad(m, ((0, 0), (0, n_pad - total), (0, 0), (0, 0)))
-    uw = out_band.astype(jnp.float32).reshape(n_stems, 1)
+    uw = out_band.astype(jnp.float32).reshape(n_stems)
     er, ei, tr, ti = _inv_tables()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_stems, n_pad // fb),
+        in_specs=[
+            pl.BlockSpec((fb, R, R), lambda s, i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, R, R), lambda s, i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, fb, mask_rows, R), lambda s, i, *_: (s, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, R), lambda s, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, fb, R, R), lambda s, i, *_: (s, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -261,25 +282,8 @@ def masked_irfft4096_pallas(
             mask_rows=mask_rows,
         ),
         out_shape=jax.ShapeDtypeStruct((n_stems, n_pad, R, R), jnp.float32),
-        grid=(n_stems, n_pad // fb),
-        in_specs=[
-            pl.BlockSpec((fb, R, R), lambda s, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, R, R), lambda s, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, fb, mask_rows, R), lambda s, i: (s, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1), lambda s, i: (s, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda s, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, R), lambda s, i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, fb, R, R), lambda s, i: (s, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )(s_r, s_i, m, uw, jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr),
+        grid_spec=grid_spec,
+    )(uw, s_r, s_i, m, jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr),
       jnp.asarray(ti), win)
     out = out.reshape(n_stems, n_pad, N)[:, :total]
     return out.reshape(n_stems, *batch, N)
