@@ -158,12 +158,39 @@ def _tconv_same(x: jax.Array, w: jax.Array) -> jax.Array:
 
 # None = force canonical (False) / fast (True) regardless of backend.
 FORCE_FAST_LAYOUTS: bool | None = None
+# Same, for the fused Pallas decoder tail (kernels/mask_head.py).
+FORCE_PALLAS_HEAD: bool | None = None
 
 
 def _use_fast_layouts() -> bool:
     if FORCE_FAST_LAYOUTS is not None:
         return FORCE_FAST_LAYOUTS
     return jax.default_backend() != "cpu"
+
+
+def _use_pallas_head(params: Params, magnitude: jax.Array, sigmoid: str) -> bool:
+    """Fused up6+up7+sigmoid kernel: accelerator fast path only.
+
+    The kernel hard-codes the standard architecture's decoder tail (32->1ch
+    up6, 1->2ch 4x4 up7) and needs quad-packable frequency columns and
+    TT-divisible time rows at half resolution. `params` may carry a leading
+    stem axis (only the trailing shape is checked).
+    """
+    from spleeterrt_tpu.kernels import mask_head
+
+    t, f = magnitude.shape[-3], magnitude.shape[-2]
+    ok = (
+        sigmoid == "exact"
+        and params["up6"]["w"].shape[-4:] == (5, 5, 32, 1)
+        and params["up7"]["w"].shape[-4:] == (4, 4, 1, 2)
+        and (f // 2) % mask_head.QUAD == 0
+        and (t // 2) % mask_head.TT == 0
+    )
+    if FORCE_PALLAS_HEAD is not None:
+        return FORCE_PALLAS_HEAD and ok
+    # Deliberately NOT _use_fast_layouts(): forcing the XLA layout rewrites
+    # on CPU (tests) must not drag in a compiled-mode Pallas kernel.
+    return jax.default_backend() != "cpu" and ok
 
 
 def _pack_tconv_kernel(w: jax.Array) -> jax.Array:
@@ -254,6 +281,72 @@ def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+def _unet_trunk(
+    params: Params, magnitude: jax.Array, stem_mode: int, compute_dtype
+) -> jax.Array:
+    """Encoder + decoder through up5 -> up6's input (batch, T/2, F/2, 32)
+    = concat([conv1 skip, up5 output], channels)."""
+    x = magnitude.astype(compute_dtype)
+    cast = lambda a: a.astype(compute_dtype)
+
+    skips = []
+    for i in range(1, 7):
+        ly = params[f"down{i}"]
+        conv = _conv_encoder(x, cast(ly["w"]), i) + cast(ly["b"])
+        if i < 6:
+            skips.append(conv)
+            x = _act_encoder(
+                cast(ly["bn_scale"]) * conv + cast(ly["bn_shift"]), stem_mode
+            )
+        else:
+            x = conv  # bottleneck: bias only (spleeter.c:231-238)
+
+    for i in range(1, 6):
+        ly = params[f"up{i}"]
+        y = _tconv_decoder(x, cast(ly["w"]), i) + cast(ly["b"])
+        y = cast(ly["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly["bn_shift"])
+        # concat [skip, upsampled]; skips are pre-BN/act conv outputs
+        # (spleeter.c:239-288, README "Fast neural network inference").
+        x = jnp.concatenate([skips[5 - i], y], axis=-1)
+    return x
+
+
+def _canonical_head(
+    params: Params, x: jax.Array, stem_mode: int, compute_dtype, sigmoid: str
+) -> jax.Array:
+    """up6 + up7 + sigmoid in plain XLA (the oracle-parity formulation)."""
+    cast = lambda a: a.astype(compute_dtype)
+    ly6, ly7 = params["up6"], params["up7"]
+    y = _tconv_decoder(x, cast(ly6["w"]), 6) + cast(ly6["b"])
+    y = cast(ly6["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly6["bn_shift"])
+    logits = _conv_dilated_final(y, cast(ly7["w"])).astype(
+        jnp.float32
+    ) + ly7["b"].astype(jnp.float32)
+    if sigmoid == "lut":
+        return fast_sigmoid(logits)
+    return jax.nn.sigmoid(logits)
+
+
+def _pallas_head(
+    stacked_params: Params, x: jax.Array, stem_mode: int, n_stems: int
+) -> jax.Array:
+    """Fused decoder tail; x is (S*B, T2, F2, 32), params carry a leading
+    stem axis. Returns NHWC (S*B, T, F, 2)."""
+    from spleeterrt_tpu.kernels import mask_head
+
+    ly6, ly7 = stacked_params["up6"], stacked_params["up7"]
+    mask_cf = mask_head.mask_head_pallas(
+        x,
+        ly6["w"], ly6["b"], ly6["bn_scale"], ly6["bn_shift"],
+        ly7["w"], ly7["b"],
+        act="elu" if stem_mode == STEM_MODE_4 else "relu",
+        n_stems=n_stems,
+    )
+    # Channel-first -> NHWC for API parity; inside a jit XLA folds this
+    # into downstream transposes (tiles_to_frames wants channel-first).
+    return mask_cf.transpose(0, 2, 3, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("stem_mode", "compute_dtype", "sigmoid"))
 def unet_forward(
     params: Params,
@@ -270,38 +363,11 @@ def unet_forward(
     are promoted to fp32 for the sigmoid. fp32 `compute_dtype` gives the
     oracle-parity path.
     """
-    x = magnitude.astype(compute_dtype)
-    cast = lambda a: a.astype(compute_dtype)
-
-    skips = []
-    for i in range(1, 7):
-        ly = params[f"down{i}"]
-        conv = _conv_encoder(x, cast(ly["w"]), i) + cast(ly["b"])
-        if i < 6:
-            skips.append(conv)
-            x = _act_encoder(
-                cast(ly["bn_scale"]) * conv + cast(ly["bn_shift"]), stem_mode
-            )
-        else:
-            x = conv  # bottleneck: bias only (spleeter.c:231-238)
-
-    for i in range(1, 7):
-        ly = params[f"up{i}"]
-        y = _tconv_decoder(x, cast(ly["w"]), i) + cast(ly["b"])
-        y = cast(ly["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly["bn_shift"])
-        if i < 6:
-            # concat [skip, upsampled]; skips are pre-BN/act conv outputs
-            # (spleeter.c:239-288, README "Fast neural network inference").
-            x = jnp.concatenate([skips[5 - i], y], axis=-1)
-        else:
-            x = y
-
-    logits = _conv_dilated_final(x, cast(params["up7"]["w"])).astype(
-        jnp.float32
-    ) + params["up7"]["b"].astype(jnp.float32)
-    if sigmoid == "lut":
-        return fast_sigmoid(logits)
-    return jax.nn.sigmoid(logits)
+    x = _unet_trunk(params, magnitude, stem_mode, compute_dtype)
+    if _use_pallas_head(params, magnitude, sigmoid):
+        stacked = jax.tree.map(lambda a: a[None], params)
+        return _pallas_head(stacked, x, stem_mode, 1)
+    return _canonical_head(params, x, stem_mode, compute_dtype, sigmoid)
 
 
 def multi_stem_forward(
@@ -315,7 +381,18 @@ def multi_stem_forward(
 
     The reference runs one net per pthread (VST/Source/Spleeter4Stems.c:135,
     TASK_NB=5); here the stem axis is a vmap so XLA fuses all stems into
-    batched/grouped convolutions on the MXU.
+    batched/grouped convolutions on the MXU. On accelerators the decoder
+    tail runs as one Pallas launch with stems folded into the batch grid
+    axis (kernels/mask_head.py).
     """
+    if _use_pallas_head(stacked_params, magnitude, sigmoid):
+        trunk = jax.vmap(
+            lambda p: _unet_trunk(p, magnitude, stem_mode, compute_dtype)
+        )(stacked_params)  # (S, B, T2, F2, 32)
+        s, b = trunk.shape[:2]
+        masks = _pallas_head(
+            stacked_params, trunk.reshape(s * b, *trunk.shape[2:]), stem_mode, s
+        )
+        return masks.reshape(s, b, *masks.shape[1:])
     fwd = lambda p: unet_forward(p, magnitude, stem_mode, compute_dtype, sigmoid)
     return jax.vmap(fwd)(stacked_params)

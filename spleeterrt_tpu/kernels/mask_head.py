@@ -1,0 +1,330 @@
+"""Pallas TPU kernel: fused U-Net decoder tail (up6 + up7 + sigmoid).
+
+The channel-poor decoder exit dominates the U-Net's device time on TPU
+(docs/PERF.md): up6 (32->1ch transposed conv) and up7 (1->2ch dilated conv)
+put C in {1, 2, 4} on the 128-lane axis, so XLA pays layout transitions and
+padded epilogue passes worth ~2x the conv FLOPs. This kernel computes
+
+    y6   = bn_scale * act(tconv5x5_s2(x, w6) + b6) + bn_shift     (up6)
+    mask = sigmoid(conv4x4_dil2(y6, w7) + b7)                     (up7)
+
+entirely in VMEM per (batch, time-tile, frequency-chunk) grid step. The
+stem axis is folded into the batch grid axis (weights are indexed by
+program // batch_per_stem in the BlockSpec index maps) so one launch covers
+every stem of a multi-stem separation without vmap.
+
+Layout: frequency columns are packed in QUADS -- lane = 32*(col phase j) +
+channel c fills all 128 lanes exactly -- and the quad index rides the
+LEADING (untiled) axis, shape (quads, rows, 128). That choice is forced by
+Mosaic: lane-concats of sublane-shifted slices do not lower, but axis-0
+slices are free, so the +-1-quad im2col is a lane-concat of three axis-0
+slices. The (heavily overlapping) input windows are fetched by an explicit
+HBM->VMEM DMA per step -- materializing them host-side (jnp.stack of
+slices) measured ~15 ms of pure copying at the 4-stem VST workload.
+
+up6 uses the subpixel decomposition (core/model.py::_pack_tconv_kernel: a
+3x3 stride-1 conv whose 4 output channels are the (dp, dq) parities of the
+full-res output), evaluated as three MXU matmuls (one per kernel row a)
+with K = 3 quads x 128 = 384, N = 4 col phases x 4 parities = 16. Row taps
+are applied as post-matmul sublane slices + adds (pre-matmul sublane-offset
+slices do not lower cleanly either).
+
+up7 (rhs_dilation-2 4x4 conv, taps at {-3,-1,+1,+3}; the nonstandard
+reference geometry per Executable/im2col_dilated.c:13, see core/model.py)
+never materializes the full-resolution plane: every tap offset is odd, so
+output parity row q reads only y6 parity rows 1-q (likewise columns), and
+the whole conv is a parity-mixing linear map -- 8 MXU matmuls (per output
+row parity q and row tap a) with K = 3 quads x 16 parities = 48, N = 8
+output column phases x 2 channels = 16. The packed (SB, nq, T2, 32) output
+is unpacked to (SB, 2, T, F) by one XLA transpose outside the kernel.
+
+Domain masks: the up6 epilogue maps zero-padded halo rows/quads to a
+nonzero constant, but up7's TF-SAME padding needs true zeros outside the
+global plane, so 0/1 row- and quad-validity masks re-zero them.
+
+Reference semantics: Executable/spleeter.c:239-301 (decoder activation
+BEFORE batch norm; final conv = 4x4 dilation 2 + bias + sigmoid).
+Parity: tests/test_mask_head.py (interpret mode vs the canonical XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 3  # input halo rows per side at half resolution (see tiling note)
+QHALO = 2  # input halo quads per side (up6 needs 1, up7 one more)
+TT = 32  # half-resolution output rows per grid step
+# DMA'd rows per step: TT + 2*HALO rounded up to the 8-row sublane tiling
+# (Mosaic requires DMA slice sizes aligned to the tile); the extra rows are
+# zero padding, never consumed by the row-tap slices.
+ROWS_DMA = -(-(TT + 2 * HALO) // 8) * 8
+MAX_NQC = 96  # max quads per grid step (VMEM budget)
+N_PAR = 4  # subpixel parities (dp, dq)
+QUAD = 4  # frequency columns packed per 128-lane group
+
+# Scalar table layout (per stem, (1, 40) f32):
+# [0]=b6  [1]=bn_scale6  [2]=bn_shift6  [8:24) = b7[n % 2] over out lanes.
+_SCAL_B6, _SCAL_BNS, _SCAL_BNH = 0, 1, 2
+_SCAL_B7L = 8
+_SCAL_LEN = 40
+
+
+def _elu_f32(x: jax.Array) -> jax.Array:
+    # Reference ELU with the denormal guard (Executable/spleeter.c:51-56).
+    # exp(x)-1 instead of expm1 (Mosaic has no expm1 lowering); the fp32
+    # cancellation error near 0 is ~1e-7 absolute, below test tolerance.
+    safe = jnp.maximum(x, -15.0)
+    return jnp.where(x >= 0, x, jnp.where(x < -15.0, -1.0, jnp.exp(safe) - 1.0))
+
+
+def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
+                 xbuf, sem, *, act: str, nqc: int):
+    """One (batch*stem, time-tile, frequency-chunk) step.
+
+    xq_ref:  (SB, nq+4, T2+6, 128) quad-packed up6 input in HBM (rows padded
+             by HALO, quads by QHALO, zeros); the step's window is DMA'd.
+    w2_ref:  (1, 3, 384, 16) this stem's subpixel weights.
+    u7_ref:  (1, 2, 4, 48, 16) this stem's up7 parity-mix weights.
+    scal_ref:(1, 1, 40) f32 this stem's scalar table.
+    rowm_ref:(1, 1, TT+4, 1) f32 0/1 row validity (y6 halo rows).
+    qm_ref:  (1, nqc+2, 1, 1) f32 0/1 quad validity (y6 halo quads).
+    out_ref: (1, nqc, TT, 32) packed mask tile, lane L = 16q + 2w + co.
+    xbuf:    VMEM scratch (nqc+4, TT+6, 128).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    f = pl.program_id(2)
+    ny = nqc + 2  # y6 quads computed (+-1 halo for up7)
+    th = ROWS_DMA  # input rows held (incl. alignment padding)
+    ty = TT + 4  # y6 rows (+-2 halo at half resolution)
+
+    dma = pltpu.make_async_copy(
+        xq_ref.at[b, pl.ds(f * nqc, nqc + 2 * QHALO), pl.ds(t * TT, th), :],
+        xbuf,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    x = xbuf[:]  # (nqc+4, th, 128)
+
+    # --- up6: quad im2col via axis-0 slices, 3 row-tap matmuls, K=384 ------
+    # y6 local quad i (global f*nqc - 1 + i) with tap g reads x local i + g.
+    xc = jnp.concatenate([x[0:ny], x[1 : ny + 1], x[2 : ny + 2]], axis=-1)
+    xcf = xc.reshape(ny * th, 3 * 128)
+    acc = jnp.zeros((ny, ty, 4 * N_PAR), jnp.float32)
+    for a in range(3):
+        za = jnp.dot(xcf, w2_ref[0, a], preferred_element_type=jnp.float32)
+        # Row tap offset applied post-matmul (sublane slice + add).
+        acc = acc + za.reshape(ny, th, 4 * N_PAR)[:, a : a + ty]
+
+    # Epilogue: act BEFORE batch norm (spleeter.c:244-245); cout = 1 so the
+    # bias/BN terms are scalars shared by all parities.
+    z = acc + scal_ref[0, 0:1, _SCAL_B6 : _SCAL_B6 + 1]
+    z = _elu_f32(z) if act == "elu" else jnp.maximum(z, 0.0)
+    y6 = (
+        scal_ref[0, 0:1, _SCAL_BNS : _SCAL_BNS + 1] * z
+        + scal_ref[0, 0:1, _SCAL_BNH : _SCAL_BNH + 1]
+    )
+    y6 = (y6 * rowm_ref[0] * qm_ref[0]).astype(x.dtype)  # domain masks
+
+    # --- up7: 8 parity-mix matmuls over the quad im2col of y6 --------------
+    yc = jnp.concatenate(
+        [y6[0:nqc], y6[1 : nqc + 1], y6[2 : nqc + 2]], axis=-1
+    )  # (nqc, ty, 48)
+    ycf = yc.reshape(nqc * ty, 48)
+    b7l = scal_ref[0, 0:1, _SCAL_B7L : _SCAL_B7L + 16]
+    for q in range(2):
+        oq = jnp.zeros((nqc, TT, 4 * N_PAR), jnp.float32)
+        for a in range(4):
+            zqa = jnp.dot(
+                ycf, u7_ref[0, q, a], preferred_element_type=jnp.float32
+            ).reshape(nqc, ty, 4 * N_PAR)
+            # Output row u reads y6 row u + a - 2 + q (local u + a + q).
+            oq = oq + zqa[:, a + q : a + q + TT]
+        # Lane L = 16q + 2w + co; halves stored separately (a lane concat
+        # of the offset-layout slice results does not lower in Mosaic).
+        out_ref[0, :, :, 16 * q : 16 * q + 16] = jax.nn.sigmoid(oq + b7l)
+
+
+# Tiling note: output full-res rows [G, G + 2*TT), G = 2*t*TT. Row 2u+q
+# reads plane rows 2u+q + 2a-3 for a in 0..3; since the offsets are odd the
+# plane row parity is 1-q, i.e. y6 row u' = u + a - 2 + q. Over u in
+# [t*TT, t*TT + TT) that spans u' in [t*TT - 2, t*TT + TT + 2): ty = TT+4
+# rows, which read up6-input rows u'-1..u'+1 = [t*TT - 3, t*TT + TT + 3)
+# (HALO = 3). Columns decompose the same way: output column 8m+w reads
+# plane columns 8m + (w + 2b - 3) spanning quads m-1..m+1, and those y6
+# quads read input quads two further out (QHALO = 2). Host-side zero
+# padding at the global edges reproduces up6/up7's TF-SAME zero padding
+# there (after the domain masks re-zero the epilogue constant).
+
+
+def _pack_head_weights(packed: jax.Array, dtype) -> jax.Array:
+    """(3,3,32,4) subpixel kernel -> (3, 384, 16) quad matmul weights.
+
+    Output column 4m+j' at parity p taps input column 4m + (j'+b-1) =
+    4(m+g-1) + j, i.e. im2col lane 128g + 32j + c, against
+    packed[a, b, c, p]; the N axis is 4j' + p.
+    """
+    w2 = jnp.zeros((3, 384, 16), dtype)
+    for jp in range(4):
+        for b in range(3):
+            d = jp + b - 1
+            g, j = (d + 4) // 4, d % 4
+            w2 = w2.at[
+                :, 128 * g + 32 * j : 128 * g + 32 * j + 32, 4 * jp : 4 * jp + 4
+            ].set(packed[:, b].astype(dtype))
+    return w2
+
+
+def _pack_up7_weights(w7: jax.Array, dtype) -> jax.Array:
+    """(4,4,1,2) dilated kernel -> (2, 4, 48, 16) parity-mix weights.
+
+    For output row parity q, column phase w (0..7), channel co, tap (a, b):
+    s = w + 2b - 3 selects quad g = (s+8)//8 and y6 lane 4*(s%8//2) +
+    2*(1-q) + s%2; the K axis is 16g + lane, the N axis 2w + co.
+    """
+    sel = _up7_selection()
+    return (
+        jnp.einsum(
+            "qaknb,abc->qaknc",
+            jnp.asarray(sel),
+            w7[:, :, 0, :].astype(jnp.float32),
+        )
+        .reshape(2, 4, 48, 16)
+        .astype(dtype)
+    )
+
+
+@functools.cache
+def _up7_selection() -> np.ndarray:
+    """Static 0/1 tensor mapping w7 taps into (q, a, K, N//2, b) slots."""
+    sel = np.zeros((2, 4, 48, 8, 4), np.float32)
+    for q in range(2):
+        for w in range(8):
+            for a in range(4):
+                for b in range(4):
+                    s = w + 2 * b - 3
+                    g, wpp = (s + 8) // 8, s % 8
+                    lane = 16 * g + 4 * (wpp // 2) + 2 * (1 - q) + (wpp % 2)
+                    sel[q, a, lane, w, b] = 1.0
+    return sel
+
+
+def _chunk_quads(nq: int) -> int:
+    """Largest divisor of nq that is <= MAX_NQC."""
+    for c in range(min(nq, MAX_NQC), 0, -1):
+        if nq % c == 0:
+            return c
+    return nq
+
+
+def _scal_table(b6, bns, bnh, b7) -> jax.Array:
+    scal = jnp.zeros((_SCAL_LEN,), jnp.float32)
+    scal = scal.at[_SCAL_B6].set(b6.astype(jnp.float32)[0])
+    scal = scal.at[_SCAL_BNS].set(bns.astype(jnp.float32)[0])
+    scal = scal.at[_SCAL_BNH].set(bnh.astype(jnp.float32)[0])
+    scal = scal.at[_SCAL_B7L : _SCAL_B7L + 16].set(
+        jnp.tile(b7.astype(jnp.float32), 8)  # b7[n % 2] over packed lanes
+    )
+    return scal.reshape(1, _SCAL_LEN)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "n_stems"))
+def mask_head_pallas(
+    x: jax.Array,  # (S*B, T2, F2, 32) = concat([conv1 skip, up5 out], lanes)
+    w6: jax.Array,  # (S, 5, 5, 32, 1) per-stem up6 transposed-conv kernels
+    b6: jax.Array,  # (S, 1)
+    bn_scale6: jax.Array,  # (S, 1)
+    bn_shift6: jax.Array,  # (S, 1)
+    w7: jax.Array,  # (S, 4, 4, 1, 2) per-stem final dilated conv kernels
+    b7: jax.Array,  # (S, 2)
+    act: str = "elu",
+    n_stems: int = 1,
+) -> jax.Array:
+    """-> mask (S*B, 2, 2*T2, 2*F2) f32 (channel-first).
+
+    Batch rows [s*B, (s+1)*B) use stem s's weights.
+    """
+    from spleeterrt_tpu.core.model import _pack_tconv_kernel
+
+    sb, t2, f2, cin = x.shape
+    if cin != 32 or f2 % QUAD or t2 % TT or sb % n_stems:
+        raise ValueError(f"unsupported head shape {x.shape}")
+    bper = sb // n_stems
+    nt = t2 // TT
+    nq = f2 // QUAD
+    nqc = _chunk_quads(nq)
+    nf = nq // nqc
+    ty = TT + 4
+
+    w2 = jax.vmap(
+        lambda w: _pack_head_weights(_pack_tconv_kernel(w.astype(x.dtype)), x.dtype)
+    )(w6)
+    u7 = jax.vmap(lambda w: _pack_up7_weights(w, x.dtype))(w7)
+    scal = jax.vmap(_scal_table)(b6, bn_scale6, bn_shift6, b7)
+
+    g = TT * np.arange(nt)[:, None] - 2 + np.arange(ty)[None, :]
+    rowm = jnp.asarray(
+        ((g >= 0) & (g < t2)).astype(np.float32).reshape(nt, 1, ty, 1)
+    )
+    gq = nqc * np.arange(nf)[:, None] - 1 + np.arange(nqc + 2)[None, :]
+    qm = jnp.asarray(
+        ((gq >= 0) & (gq < nq)).astype(np.float32).reshape(nf, nqc + 2, 1, 1)
+    )
+
+    # Host-side prep (cheap fused pads; the lane repack (F2, 32)->(nq, 128)
+    # is a pure reshape): rows padded by HALO, quads by QHALO, quads moved
+    # to the leading axis for the kernel's axis-0 im2col slices.
+    xp = jnp.pad(x, ((0, 0), (HALO, ROWS_DMA - TT - HALO), (0, 0), (0, 0)))
+    xq = xp.reshape(sb, t2 + HALO + (ROWS_DMA - TT - HALO), nq, QUAD * cin)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (QHALO, QHALO), (0, 0))).transpose(
+        0, 2, 1, 3
+    )  # (SB, nq+4, T2+6, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, act=act, nqc=nqc),
+        out_shape=jax.ShapeDtypeStruct((sb, nq, t2, 32), jnp.float32),
+        grid=(sb, nt, nf),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # DMA'd manually
+            pl.BlockSpec(
+                (1, 3, 384, 16), lambda b, t, f: (b // bper, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, 4, 48, 16), lambda b, t, f: (b // bper, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, _SCAL_LEN), lambda b, t, f: (b // bper, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ty, 1), lambda b, t, f: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nqc + 2, 1, 1), lambda b, t, f: (f, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nqc, TT, 32), lambda b, t, f: (b, f, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nqc + 2 * QHALO, ROWS_DMA, QUAD * 32), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xq, w2, u7, scal, rowm, qm)
+
+    # Unpack lane L = 16q + 2w + co of quad m, row u to (co, 2u+q, 8m+w):
+    # one XLA transpose pass.
+    out = out.reshape(sb, nq, t2, 2, 8, 2).transpose(0, 5, 2, 3, 1, 4)
+    return out.reshape(sb, 2, 2 * t2, 2 * f2)
