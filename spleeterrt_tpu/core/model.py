@@ -183,7 +183,7 @@ def _use_pallas_head(params: Params, magnitude: jax.Array, sigmoid: str) -> bool
         sigmoid == "exact"
         and params["up6"]["w"].shape[-4:] == (5, 5, 32, 1)
         and params["up7"]["w"].shape[-4:] == (4, 4, 1, 2)
-        and (f // 2) % mask_head.QUAD == 0
+        and (f // 2) % (4 * mask_head.QUAD) == 0
         and (t // 2) % mask_head.TT == 0
     )
     if FORCE_PALLAS_HEAD is not None:

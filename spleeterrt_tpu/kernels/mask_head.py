@@ -15,28 +15,28 @@ every stem of a multi-stem separation without vmap.
 
 Layout: frequency columns are packed in QUADS -- lane = 32*(col phase j) +
 channel c fills all 128 lanes exactly -- and the quad index rides the
-LEADING (untiled) axis, shape (quads, rows, 128). That choice is forced by
-Mosaic: lane-concats of sublane-shifted slices do not lower, but axis-0
-slices are free, so the +-1-quad im2col is a lane-concat of three axis-0
-slices. The (heavily overlapping) input windows are fetched by an explicit
-HBM->VMEM DMA per step -- materializing them host-side (jnp.stack of
-slices) measured ~15 ms of pure copying at the 4-stem VST workload.
+LEADING (untiled) axis. Compute rows are GROUPS of four quads (16 half-res
+columns), which makes both conv stages matmuls with N = 64 output lanes:
 
-up6 uses the subpixel decomposition (core/model.py::_pack_tconv_kernel: a
-3x3 stride-1 conv whose 4 output channels are the (dp, dq) parities of the
-full-res output), evaluated as three MXU matmuls (one per kernel row a)
-with K = 3 quads x 128 = 384, N = 4 col phases x 4 parities = 16. Row taps
-are applied as post-matmul sublane slices + adds (pre-matmul sublane-offset
-slices do not lower cleanly either).
+- up6 (subpixel decomposition, core/model.py::_pack_tconv_kernel: a 3x3
+  stride-1 conv whose 4 output channels are the (dp, dq) parities of the
+  full-res output): per output group the column window spans 6 quads, so
+  three MXU matmuls (one per kernel row a, applied post-matmul as sublane
+  slice + add) with K = 6*128 = 768, N = 16 cols x 4 parities = 64.
+- up7 (rhs_dilation-2 4x4 conv, taps at {-3,-1,+1,+3}; the nonstandard
+  reference geometry per Executable/im2col_dilated.c:13, see
+  core/model.py) never materializes the full-res plane: every tap offset
+  is odd, so output parity row q reads only y6 parity rows 1-q (likewise
+  columns), i.e. a parity-mixing linear map. Per output group the window
+  is covered by two adjacent y6 groups: 8 MXU matmuls (q, a) with
+  K = 2*64 = 128, N = 32 full-res cols x 2 channels = 64.
 
-up7 (rhs_dilation-2 4x4 conv, taps at {-3,-1,+1,+3}; the nonstandard
-reference geometry per Executable/im2col_dilated.c:13, see core/model.py)
-never materializes the full-resolution plane: every tap offset is odd, so
-output parity row q reads only y6 parity rows 1-q (likewise columns), and
-the whole conv is a parity-mixing linear map -- 8 MXU matmuls (per output
-row parity q and row tap a) with K = 3 quads x 16 parities = 48, N = 8
-output column phases x 2 channels = 16. The packed (SB, nq, T2, 32) output
-is unpacked to (SB, 2, T, F) by one XLA transpose outside the kernel.
+Mosaic constraints that shaped the code: lane-concats are only of
+full-width, offset-0 (axis-0-sliced) tensors; row/quad shifts are leading-
+axis slices or post-matmul sublane slice+adds; expm1 has no lowering; the
+overlapping input windows are fetched by an explicit HBM->VMEM DMA (a
+host-side jnp.stack gather measured ~15 ms of pure copying at the 4-stem
+VST workload) with the row-slice size 8-aligned.
 
 Domain masks: the up6 epilogue maps zero-padded halo rows/quads to a
 nonzero constant, but up7's TF-SAME padding needs true zeros outside the
@@ -58,21 +58,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 3  # input halo rows per side at half resolution (see tiling note)
-QHALO = 2  # input halo quads per side (up6 needs 1, up7 one more)
+QHALO = 3  # input halo quads per side (up6's 6-quad window + up7's +-1)
 TT = 32  # half-resolution output rows per grid step
+MAX_NQC = 96  # max quads per grid step (VMEM budget); must stay 4-aligned
+N_PAR = 4  # subpixel parities (dp, dq)
+QUAD = 4  # frequency columns packed per 128-lane group
 # DMA'd rows per step: TT + 2*HALO rounded up to the 8-row sublane tiling
 # (Mosaic requires DMA slice sizes aligned to the tile); the extra rows are
 # zero padding, never consumed by the row-tap slices.
 ROWS_DMA = -(-(TT + 2 * HALO) // 8) * 8
-MAX_NQC = 96  # max quads per grid step (VMEM budget)
-N_PAR = 4  # subpixel parities (dp, dq)
-QUAD = 4  # frequency columns packed per 128-lane group
 
-# Scalar table layout (per stem, (1, 40) f32):
-# [0]=b6  [1]=bn_scale6  [2]=bn_shift6  [8:24) = b7[n % 2] over out lanes.
+# Scalar table layout (per stem, (1, 80) f32):
+# [0]=b6  [1]=bn_scale6  [2]=bn_shift6  [8:72) = b7[n % 2] over out lanes.
 _SCAL_B6, _SCAL_BNS, _SCAL_BNH = 0, 1, 2
 _SCAL_B7L = 8
-_SCAL_LEN = 40
+_SCAL_LEN = 80
 
 
 def _elu_f32(x: jax.Array) -> jax.Array:
@@ -87,41 +87,50 @@ def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
                  xbuf, sem, *, act: str, nqc: int):
     """One (batch*stem, time-tile, frequency-chunk) step.
 
-    xq_ref:  (SB, nq+4, T2+6, 128) quad-packed up6 input in HBM (rows padded
-             by HALO, quads by QHALO, zeros); the step's window is DMA'd.
-    w2_ref:  (1, 3, 384, 16) this stem's subpixel weights.
-    u7_ref:  (1, 2, 4, 48, 16) this stem's up7 parity-mix weights.
-    scal_ref:(1, 1, 40) f32 this stem's scalar table.
+    xq_ref:  (SB, nq + 2*QHALO + 2, T2 + ROWS_DMA - TT, 128) quad-packed
+             up6 input in HBM (rows padded by HALO, quads by QHALO(+2 on
+             the right for the group reshape), zeros); windows are DMA'd.
+    w2_ref:  (1, 3, 768, 64) this stem's subpixel weights.
+    u7_ref:  (1, 2, 4, 128, 64) this stem's up7 parity-mix weights.
+    scal_ref:(1, 1, 80) f32 this stem's scalar table.
     rowm_ref:(1, 1, TT+4, 1) f32 0/1 row validity (y6 halo rows).
-    qm_ref:  (1, nqc+2, 1, 1) f32 0/1 quad validity (y6 halo quads).
-    out_ref: (1, nqc, TT, 32) packed mask tile, lane L = 16q + 2w + co.
-    xbuf:    VMEM scratch (nqc+4, TT+6, 128).
+    qm_ref:  (1, nqc//4+1, 1, 64) f32 0/1 per-lane quad validity.
+    out_ref: (1, nqc//4, TT, 128) packed mask tile,
+             lane L = 64q + 2*(8*ko + w) + co.
+    xbuf:    VMEM scratch (nqc + 8, ROWS_DMA, 128).
     """
     b = pl.program_id(0)
     t = pl.program_id(1)
     f = pl.program_id(2)
-    ny = nqc + 2  # y6 quads computed (+-1 halo for up7)
+    ngo = nqc // QUAD  # output groups (4 quads = 32 full-res cols each)
+    ngy = ngo + 1  # y6 groups computed (quads [-2, nqc+2) in groups of 4)
     th = ROWS_DMA  # input rows held (incl. alignment padding)
     ty = TT + 4  # y6 rows (+-2 halo at half resolution)
 
     dma = pltpu.make_async_copy(
-        xq_ref.at[b, pl.ds(f * nqc, nqc + 2 * QHALO), pl.ds(t * TT, th), :],
+        xq_ref.at[b, pl.ds(f * nqc, nqc + 8), pl.ds(t * TT, th), :],
         xbuf,
         sem,
     )
     dma.start()
     dma.wait()
-    x = xbuf[:]  # (nqc+4, th, 128)
+    # x local quad L <-> global quad f*nqc - QHALO + L.
+    x4 = xbuf[:].reshape(ngy + 1, QUAD, th, 128)
 
-    # --- up6: quad im2col via axis-0 slices, 3 row-tap matmuls, K=384 ------
-    # y6 local quad i (global f*nqc - 1 + i) with tap g reads x local i + g.
-    xc = jnp.concatenate([x[0:ny], x[1 : ny + 1], x[2 : ny + 2]], axis=-1)
-    xcf = xc.reshape(ny * th, 3 * 128)
-    acc = jnp.zeros((ny, ty, 4 * N_PAR), jnp.float32)
+    # --- up6: 6-quad window im2col via group slices, 3 row-tap matmuls -----
+    # y6 group m0 covers global quads F0-2+4m0+(0..3); window piece i
+    # (0..5) is local quad 4m0 + i = x4[m0 + i//4, i%4].
+    xc = jnp.concatenate(
+        [x4[0:ngy, 0], x4[0:ngy, 1], x4[0:ngy, 2], x4[0:ngy, 3],
+         x4[1 : ngy + 1, 0], x4[1 : ngy + 1, 1]],
+        axis=-1,
+    )  # (ngy, th, 768)
+    xcf = xc.reshape(ngy * th, 6 * 128)
+    acc = jnp.zeros((ngy, ty, 64), jnp.float32)
     for a in range(3):
         za = jnp.dot(xcf, w2_ref[0, a], preferred_element_type=jnp.float32)
         # Row tap offset applied post-matmul (sublane slice + add).
-        acc = acc + za.reshape(ny, th, 4 * N_PAR)[:, a : a + ty]
+        acc = acc + za.reshape(ngy, th, 64)[:, a : a + ty]
 
     # Epilogue: act BEFORE batch norm (spleeter.c:244-245); cout = 1 so the
     # bias/BN terms are scalars shared by all parities.
@@ -131,25 +140,23 @@ def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
         scal_ref[0, 0:1, _SCAL_BNS : _SCAL_BNS + 1] * z
         + scal_ref[0, 0:1, _SCAL_BNH : _SCAL_BNH + 1]
     )
-    y6 = (y6 * rowm_ref[0] * qm_ref[0]).astype(x.dtype)  # domain masks
+    y6 = (y6 * rowm_ref[0] * qm_ref[0]).astype(x4.dtype)  # domain masks
 
-    # --- up7: 8 parity-mix matmuls over the quad im2col of y6 --------------
-    yc = jnp.concatenate(
-        [y6[0:nqc], y6[1 : nqc + 1], y6[2 : nqc + 2]], axis=-1
-    )  # (nqc, ty, 48)
-    ycf = yc.reshape(nqc * ty, 48)
-    b7l = scal_ref[0, 0:1, _SCAL_B7L : _SCAL_B7L + 16]
+    # --- up7: 8 parity-mix matmuls; window = two adjacent y6 groups --------
+    yc = jnp.concatenate([y6[0:ngo], y6[1:ngy]], axis=-1)  # (ngo, ty, 128)
+    ycf = yc.reshape(ngo * ty, 128)
+    b7l = scal_ref[0, 0:1, _SCAL_B7L : _SCAL_B7L + 64]
     for q in range(2):
-        oq = jnp.zeros((nqc, TT, 4 * N_PAR), jnp.float32)
+        oq = jnp.zeros((ngo, TT, 64), jnp.float32)
         for a in range(4):
             zqa = jnp.dot(
                 ycf, u7_ref[0, q, a], preferred_element_type=jnp.float32
-            ).reshape(nqc, ty, 4 * N_PAR)
+            ).reshape(ngo, ty, 64)
             # Output row u reads y6 row u + a - 2 + q (local u + a + q).
             oq = oq + zqa[:, a + q : a + q + TT]
-        # Lane L = 16q + 2w + co; halves stored separately (a lane concat
-        # of the offset-layout slice results does not lower in Mosaic).
-        out_ref[0, :, :, 16 * q : 16 * q + 16] = jax.nn.sigmoid(oq + b7l)
+        # Lane L = 64q + n; halves stored separately (a lane concat of the
+        # offset-layout slice results does not lower in Mosaic).
+        out_ref[0, :, :, 64 * q : 64 * q + 64] = jax.nn.sigmoid(oq + b7l)
 
 
 # Tiling note: output full-res rows [G, G + 2*TT), G = 2*t*TT. Row 2u+q
@@ -157,71 +164,83 @@ def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
 # plane row parity is 1-q, i.e. y6 row u' = u + a - 2 + q. Over u in
 # [t*TT, t*TT + TT) that spans u' in [t*TT - 2, t*TT + TT + 2): ty = TT+4
 # rows, which read up6-input rows u'-1..u'+1 = [t*TT - 3, t*TT + TT + 3)
-# (HALO = 3). Columns decompose the same way: output column 8m+w reads
-# plane columns 8m + (w + 2b - 3) spanning quads m-1..m+1, and those y6
-# quads read input quads two further out (QHALO = 2). Host-side zero
-# padding at the global edges reproduces up6/up7's TF-SAME zero padding
-# there (after the domain masks re-zero the epilogue constant).
+# (HALO = 3). Columns: output group m0 (quads 4m0..4m0+3 of the chunk)
+# reads plane columns spanning quads 4m0-1..4m0+4, i.e. y6 locals
+# 4m0+1..4m0+6 (base -2), covered by y6 groups m0 and m0+1; those y6 quads
+# read input quads one further out (local 4m0..4m0+5, QHALO = 3). Host-side
+# zero padding at the global edges reproduces up6/up7's TF-SAME zero
+# padding there (after the domain masks re-zero the epilogue constant).
 
 
 def _pack_head_weights(packed: jax.Array, dtype) -> jax.Array:
-    """(3,3,32,4) subpixel kernel -> (3, 384, 16) quad matmul weights.
+    """(3,3,32,4) subpixel kernel -> (3, 768, 64) group matmul weights.
 
-    Output column 4m+j' at parity p taps input column 4m + (j'+b-1) =
-    4(m+g-1) + j, i.e. im2col lane 128g + 32j + c, against
-    packed[a, b, c, p]; the N axis is 4j' + p.
+    Output column cc = 4k + j' (within the 16-col group) at parity p taps
+    window column W = cc + b - 1 + 4 (the window starts one quad early),
+    i.e. im2col lane 128*(W//4) + 32*(W%4) + c, against packed[a, b, c, p];
+    the N axis is 4*cc + p.
     """
-    w2 = jnp.zeros((3, 384, 16), dtype)
-    for jp in range(4):
+    w2 = jnp.zeros((3, 6 * 128, 64), dtype)
+    for cc in range(16):
         for b in range(3):
-            d = jp + b - 1
-            g, j = (d + 4) // 4, d % 4
+            w = cc + b + 3
+            g, j = w // 4, w % 4
             w2 = w2.at[
-                :, 128 * g + 32 * j : 128 * g + 32 * j + 32, 4 * jp : 4 * jp + 4
+                :, 128 * g + 32 * j : 128 * g + 32 * j + 32,
+                4 * cc : 4 * cc + 4,
             ].set(packed[:, b].astype(dtype))
     return w2
 
 
 def _pack_up7_weights(w7: jax.Array, dtype) -> jax.Array:
-    """(4,4,1,2) dilated kernel -> (2, 4, 48, 16) parity-mix weights.
+    """(4,4,1,2) dilated kernel -> (2, 4, 128, 64) parity-mix weights.
 
-    For output row parity q, column phase w (0..7), channel co, tap (a, b):
-    s = w + 2b - 3 selects quad g = (s+8)//8 and y6 lane 4*(s%8//2) +
-    2*(1-q) + s%2; the K axis is 16g + lane, the N axis 2w + co.
+    For output row parity q, group column c32 = 8*ko + w, channel co, tap
+    (a, b): s = w + 2b - 3 selects input quad ko + (s+8)//8 - 1 (local
+    y6 index ko + (s+8)//8 + 1 over the two-group window) and y6 lane
+    4*(s%8//2) + 2*(1-q) + s%2; the N axis is 2*c32 + co.
     """
     sel = _up7_selection()
     return (
         jnp.einsum(
-            "qaknb,abc->qaknc",
+            "qakcb,abo->qakco",
             jnp.asarray(sel),
             w7[:, :, 0, :].astype(jnp.float32),
         )
-        .reshape(2, 4, 48, 16)
+        .reshape(2, 4, 128, 64)
         .astype(dtype)
     )
 
 
 @functools.cache
 def _up7_selection() -> np.ndarray:
-    """Static 0/1 tensor mapping w7 taps into (q, a, K, N//2, b) slots."""
-    sel = np.zeros((2, 4, 48, 8, 4), np.float32)
+    """Static 0/1 tensor mapping w7 taps into (q, a, K, c32, b) slots."""
+    sel = np.zeros((2, 4, 128, 32, 4), np.float32)
     for q in range(2):
-        for w in range(8):
+        for c32 in range(32):
+            ko, w = c32 // 8, c32 % 8
             for a in range(4):
                 for b in range(4):
                     s = w + 2 * b - 3
-                    g, wpp = (s + 8) // 8, s % 8
-                    lane = 16 * g + 4 * (wpp // 2) + 2 * (1 - q) + (wpp % 2)
-                    sel[q, a, lane, w, b] = 1.0
+                    gq, wpp = (s + 8) // 8, s % 8
+                    lq = ko + gq + 1  # y6 local quad over the 2-group window
+                    lane = (
+                        64 * (lq // 4)
+                        + 16 * (lq % 4)
+                        + 4 * (wpp // 2)
+                        + 2 * (1 - q)
+                        + (wpp % 2)
+                    )
+                    sel[q, a, lane, c32, b] = 1.0
     return sel
 
 
 def _chunk_quads(nq: int) -> int:
-    """Largest divisor of nq that is <= MAX_NQC."""
-    for c in range(min(nq, MAX_NQC), 0, -1):
-        if nq % c == 0:
+    """Largest 4-aligned divisor of nq that is <= MAX_NQC."""
+    for c in range(min(nq, MAX_NQC), 0, -4):
+        if c % 4 == 0 and nq % c == 0:
             return c
-    return nq
+    raise ValueError(f"nq={nq} has no 4-aligned chunk")
 
 
 def _scal_table(b6, bns, bnh, b7) -> jax.Array:
@@ -229,8 +248,8 @@ def _scal_table(b6, bns, bnh, b7) -> jax.Array:
     scal = scal.at[_SCAL_B6].set(b6.astype(jnp.float32)[0])
     scal = scal.at[_SCAL_BNS].set(bns.astype(jnp.float32)[0])
     scal = scal.at[_SCAL_BNH].set(bnh.astype(jnp.float32)[0])
-    scal = scal.at[_SCAL_B7L : _SCAL_B7L + 16].set(
-        jnp.tile(b7.astype(jnp.float32), 8)  # b7[n % 2] over packed lanes
+    scal = scal.at[_SCAL_B7L : _SCAL_B7L + 64].set(
+        jnp.tile(b7.astype(jnp.float32), 32)  # b7[n % 2] over packed lanes
     )
     return scal.reshape(1, _SCAL_LEN)
 
@@ -254,13 +273,15 @@ def mask_head_pallas(
     from spleeterrt_tpu.core.model import _pack_tconv_kernel
 
     sb, t2, f2, cin = x.shape
-    if cin != 32 or f2 % QUAD or t2 % TT or sb % n_stems:
+    if cin != 32 or f2 % (4 * QUAD) or t2 % TT or sb % n_stems:
         raise ValueError(f"unsupported head shape {x.shape}")
     bper = sb // n_stems
     nt = t2 // TT
     nq = f2 // QUAD
     nqc = _chunk_quads(nq)
     nf = nq // nqc
+    ngo = nqc // QUAD
+    ngy = ngo + 1
     ty = TT + 4
 
     w2 = jax.vmap(
@@ -273,32 +294,40 @@ def mask_head_pallas(
     rowm = jnp.asarray(
         ((g >= 0) & (g < t2)).astype(np.float32).reshape(nt, 1, ty, 1)
     )
-    gq = nqc * np.arange(nf)[:, None] - 1 + np.arange(nqc + 2)[None, :]
+    # Per-lane quad validity of y6 group m0: lane 16k + l' holds global
+    # quad f*nqc - 2 + 4*m0 + k.
+    gq = (
+        nqc * np.arange(nf)[:, None, None]
+        - 2
+        + 4 * np.arange(ngy)[None, :, None]
+        + (np.arange(64) // 16)[None, None, :]
+    )
     qm = jnp.asarray(
-        ((gq >= 0) & (gq < nq)).astype(np.float32).reshape(nf, nqc + 2, 1, 1)
+        ((gq >= 0) & (gq < nq)).astype(np.float32).reshape(nf, ngy, 1, 64)
     )
 
     # Host-side prep (cheap fused pads; the lane repack (F2, 32)->(nq, 128)
-    # is a pure reshape): rows padded by HALO, quads by QHALO, quads moved
-    # to the leading axis for the kernel's axis-0 im2col slices.
+    # is a pure reshape): rows padded by HALO (+DMA alignment), quads by
+    # QHALO (+2 right, for the in-kernel group reshape), quads moved to the
+    # leading axis for the kernel's leading-axis im2col slices.
     xp = jnp.pad(x, ((0, 0), (HALO, ROWS_DMA - TT - HALO), (0, 0), (0, 0)))
-    xq = xp.reshape(sb, t2 + HALO + (ROWS_DMA - TT - HALO), nq, QUAD * cin)
-    xq = jnp.pad(xq, ((0, 0), (0, 0), (QHALO, QHALO), (0, 0))).transpose(
+    xq = xp.reshape(sb, t2 + ROWS_DMA - TT, nq, QUAD * cin)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (QHALO, QHALO + 2), (0, 0))).transpose(
         0, 2, 1, 3
-    )  # (SB, nq+4, T2+6, 128)
+    )  # (SB, nq + 8, T2 + ROWS_DMA - TT, 128)
 
     out = pl.pallas_call(
         functools.partial(_head_kernel, act=act, nqc=nqc),
-        out_shape=jax.ShapeDtypeStruct((sb, nq, t2, 32), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((sb, nq // QUAD, t2, 128), jnp.float32),
         grid=(sb, nt, nf),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # DMA'd manually
             pl.BlockSpec(
-                (1, 3, 384, 16), lambda b, t, f: (b // bper, 0, 0, 0),
+                (1, 3, 6 * 128, 64), lambda b, t, f: (b // bper, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2, 4, 48, 16), lambda b, t, f: (b // bper, 0, 0, 0, 0),
+                (1, 2, 4, 128, 64), lambda b, t, f: (b // bper, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -310,21 +339,21 @@ def mask_head_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nqc + 2, 1, 1), lambda b, t, f: (f, 0, 0, 0),
+                (1, ngy, 1, 64), lambda b, t, f: (f, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, nqc, TT, 32), lambda b, t, f: (b, f, t, 0),
+            (1, ngo, TT, 128), lambda b, t, f: (b, f, t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((nqc + 2 * QHALO, ROWS_DMA, QUAD * 32), x.dtype),
+            pltpu.VMEM((nqc + 8, ROWS_DMA, QUAD * 32), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(xq, w2, u7, scal, rowm, qm)
 
-    # Unpack lane L = 16q + 2w + co of quad m, row u to (co, 2u+q, 8m+w):
-    # one XLA transpose pass.
-    out = out.reshape(sb, nq, t2, 2, 8, 2).transpose(0, 5, 2, 3, 1, 4)
+    # Unpack lane L = 64q + 2*c32 + co of group m0, row u to
+    # (co, 2u+q, 32*m0 + c32): one XLA transpose pass.
+    out = out.reshape(sb, nq // QUAD, t2, 2, 32, 2).transpose(0, 5, 2, 3, 1, 4)
     return out.reshape(sb, 2, 2 * t2, 2 * f2)
