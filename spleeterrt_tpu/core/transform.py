@@ -166,13 +166,20 @@ def overlap_add(frames: jax.Array, cfg: TransformConfig) -> jax.Array:
     """
     hop, lap = cfg.hop, cfg.overlap
     n_frames = frames.shape[-2]
-    chunks = frames.reshape(*frames.shape[:-1], lap, hop)
-    # Output block b (of n_frames + lap - 1) sums chunks[b - c, c].
-    n_out_blocks = n_frames + lap - 1
-    out = jnp.zeros((*frames.shape[:-2], n_out_blocks, hop), frames.dtype)
+    # Output block b (of n_frames + lap - 1) sums frames[b - c, c*hop:...].
+    # A sum of shift-padded lane-slices fuses into ONE pass; both a
+    # lane-splitting reshape and the earlier .at[].add formulation measured
+    # ~8-10x over the bandwidth roofline.
+    nb = frames.ndim - 2  # batch dims before (n_frames, fft_size)
+    pad = [(0, 0)] * nb
+    out = None
     for c in range(lap):
-        out = out.at[..., c : c + n_frames, :].add(chunks[..., :, c, :])
-    return out.reshape(*frames.shape[:-2], n_out_blocks * hop)
+        part = jnp.pad(
+            frames[..., :, c * hop : (c + 1) * hop],
+            pad + [(c, lap - 1 - c), (0, 0)],
+        )
+        out = part if out is None else out + part
+    return out.reshape(*frames.shape[:-2], (n_frames + lap - 1) * hop)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

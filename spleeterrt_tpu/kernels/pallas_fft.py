@@ -41,59 +41,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 N = 4096
 R = 64
-FRAMES_PER_BLOCK = 16
+FRAMES_PER_BLOCK = 32  # grid-step overhead amortization vs VMEM budget
 N_BINS = N // 2 + 1
 
 
 @functools.cache
 def _inv_tables():
+    """Packed complex-as-real matmul tables.
+
+    Stage 1 contracts the complex pair in one K=128, N=128 matmul
+    ([yt_r | yt_i] @ W1 = [z_r | z_i]); stage 2 takes the real part only
+    ([wt_r | wt_i] @ W2). The packing quadruples MXU utilization over
+    separate 64x64 matmuls (which run at 25% lane/depth occupancy).
+    """
     i = np.arange(R)
     e64 = np.exp(2j * np.pi * np.outer(i, i) / R)  # (i, j), symmetric
     tw = np.exp(2j * np.pi * np.outer(i, i) / N)  # T[c, b]
+    er = np.asarray(e64.real, np.float32)
+    ei = np.asarray(e64.imag, np.float32)
+    w1 = np.block([[er, ei], [-ei, er]])  # (128, 128)
+    w2 = np.concatenate([er, -ei], axis=0)  # (128, 64)
     return (
-        np.asarray(e64.real, np.float32),
-        np.asarray(e64.imag, np.float32),
+        w1,
+        w2,
         np.asarray(tw.real, np.float32),
         np.asarray(tw.imag, np.float32),
     )
 
 
-def _irfft_kernel(yr_ref, yi_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
+def _irfft_kernel(yr_ref, yi_ref, w1_ref, w2_ref, tr_ref, ti_ref, win_ref,
                   out_ref, *, windowed: bool):
     fb = yr_ref.shape[0]
     # Y laid out (FB, 64, 64) = [f, d, c]; bins >= 2049 are zero-padded and
     # the w_k * 2/N scaling was applied host-side.
     y_r = yr_ref[:]
     y_i = yi_ref[:]
-    er = er_ref[:]
-    ei = ei_ref[:]
     tr = tr_ref[:]
     ti = ti_ref[:]
 
     # Stage 1: Z[f, c, b] = sum_d Y[f, d, c] E64[d, b]. Contract d by
-    # transposing Y to [f, c, d] (VMEM transpose) then one 2D matmul.
+    # transposing Y to [f, c, d] (VMEM transpose), packing the complex
+    # pair on K, then one full-width matmul.
     yt_r = jnp.swapaxes(y_r, 1, 2).reshape(fb * R, R)  # [f*c, d]
     yt_i = jnp.swapaxes(y_i, 1, 2).reshape(fb * R, R)
-    z_r = (
-        jnp.dot(yt_r, er, preferred_element_type=jnp.float32)
-        - jnp.dot(yt_i, ei, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)  # [f, c, b]
-    z_i = (
-        jnp.dot(yt_r, ei, preferred_element_type=jnp.float32)
-        + jnp.dot(yt_i, er, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)
+    x1 = jnp.concatenate([yt_r, yt_i], axis=-1)  # (fb*R, 128)
+    z = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32)
+    z_r = z[:, :R].reshape(fb, R, R)  # [f, c, b]
+    z_i = z[:, R:].reshape(fb, R, R)
     # Twiddle T[c, b].
     w_r = z_r * tr - z_i * ti
     w_i = z_r * ti + z_i * tr
-    # Stage 2: out[f, a, b] = Re sum_c E64[c, a] W[f, c, b]
-    #        = sum_c er[c, a] w_r[f, c, b] - ei[c, a] w_i[f, c, b].
-    # Contract c: transpose W to [f, b, c].
+    # Stage 2: out[f, a, b] = Re sum_c E64[c, a] W[f, c, b]. Contract c:
+    # transpose W to [f, b, c], pack the pair on K, real-part matmul.
     wt_r = jnp.swapaxes(w_r, 1, 2).reshape(fb * R, R)  # [f*b, c]
     wt_i = jnp.swapaxes(w_i, 1, 2).reshape(fb * R, R)
-    o = (
-        jnp.dot(wt_r, er, preferred_element_type=jnp.float32)
-        - jnp.dot(wt_i, ei, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)  # [f, b, a]
+    x2 = jnp.concatenate([wt_r, wt_i], axis=-1)  # (fb*R, 128)
+    o = jnp.dot(x2, w2_ref[:], preferred_element_type=jnp.float32).reshape(
+        fb, R, R
+    )  # [f, b, a]
     out = jnp.swapaxes(o, 1, 2)  # [f, a, b]; n = 64 a + b flattens outside
     if windowed:
         out = out * win_ref[:].reshape(1, R, R)
@@ -124,7 +129,7 @@ def _irfft_call(s_r, s_i, window_key=None):
     s_i2 = jnp.pad(s_i2, ((0, n_pad - total), (0, N - N_BINS)))
     y_r = s_r2.reshape(n_pad, R, R)  # k = c + 64 d -> [d, c]
     y_i = s_i2.reshape(n_pad, R, R)
-    er, ei, tr, ti = _inv_tables()
+    w1, w2, tr, ti = _inv_tables()
 
     out = pl.pallas_call(
         functools.partial(_irfft_kernel, windowed=window is not None),
@@ -133,8 +138,8 @@ def _irfft_call(s_r, s_i, window_key=None):
         in_specs=[
             pl.BlockSpec((fb, R, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((fb, R, R), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R, 2 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, R), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -144,7 +149,7 @@ def _irfft_call(s_r, s_i, window_key=None):
         ),
     )(
         y_r, y_i,
-        jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr), jnp.asarray(ti),
+        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(tr), jnp.asarray(ti),
         win,
     )
     return out.reshape(n_pad, N)[:total].reshape(*batch, N)
@@ -179,7 +184,7 @@ def irfft4096_pallas(
 
 
 def _masked_irfft_kernel(
-    uw_ref, yr_ref, yi_ref, m_ref, er_ref, ei_ref, tr_ref, ti_ref, win_ref,
+    uw_ref, yr_ref, yi_ref, m_ref, w1_ref, w2_ref, tr_ref, ti_ref, win_ref,
     out_ref, *, windowed: bool, mask_rows: int,
 ):
     fb = yr_ref.shape[0]
@@ -189,29 +194,24 @@ def _masked_irfft_kernel(
     m_full = jnp.concatenate([mask, fill], axis=1)  # (fb, 64, 64) [d, c]
     y_r = yr_ref[:] * m_full
     y_i = yi_ref[:] * m_full
-    er = er_ref[:]
-    ei = ei_ref[:]
     tr = tr_ref[:]
     ti = ti_ref[:]
 
+    # Packed complex-as-real matmuls (see _inv_tables/_irfft_kernel).
     yt_r = jnp.swapaxes(y_r, 1, 2).reshape(fb * R, R)
     yt_i = jnp.swapaxes(y_i, 1, 2).reshape(fb * R, R)
-    z_r = (
-        jnp.dot(yt_r, er, preferred_element_type=jnp.float32)
-        - jnp.dot(yt_i, ei, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)
-    z_i = (
-        jnp.dot(yt_r, ei, preferred_element_type=jnp.float32)
-        + jnp.dot(yt_i, er, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)
+    x1 = jnp.concatenate([yt_r, yt_i], axis=-1)
+    z = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32)
+    z_r = z[:, :R].reshape(fb, R, R)
+    z_i = z[:, R:].reshape(fb, R, R)
     w_r = z_r * tr - z_i * ti
     w_i = z_r * ti + z_i * tr
     wt_r = jnp.swapaxes(w_r, 1, 2).reshape(fb * R, R)
     wt_i = jnp.swapaxes(w_i, 1, 2).reshape(fb * R, R)
-    o = (
-        jnp.dot(wt_r, er, preferred_element_type=jnp.float32)
-        - jnp.dot(wt_i, ei, preferred_element_type=jnp.float32)
-    ).reshape(fb, R, R)
+    x2 = jnp.concatenate([wt_r, wt_i], axis=-1)
+    o = jnp.dot(x2, w2_ref[:], preferred_element_type=jnp.float32).reshape(
+        fb, R, R
+    )
     out = jnp.swapaxes(o, 1, 2)  # [f, a, b]
     if windowed:
         out = out * win_ref[:].reshape(1, R, R)
@@ -252,7 +252,7 @@ def masked_irfft4096_pallas(
     if n_pad != total:
         m = jnp.pad(m, ((0, 0), (0, n_pad - total), (0, 0), (0, 0)))
     uw = out_band.astype(jnp.float32).reshape(n_stems)
-    er, ei, tr, ti = _inv_tables()
+    w1, w2, tr, ti = _inv_tables()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -264,8 +264,8 @@ def masked_irfft4096_pallas(
                 (1, fb, mask_rows, R), lambda s, i, *_: (s, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R, 2 * R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, R), lambda s, i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, R), lambda s, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -283,7 +283,7 @@ def masked_irfft4096_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_stems, n_pad, R, R), jnp.float32),
         grid_spec=grid_spec,
-    )(uw, s_r, s_i, m, jnp.asarray(er), jnp.asarray(ei), jnp.asarray(tr),
+    )(uw, s_r, s_i, m, jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(tr),
       jnp.asarray(ti), win)
     out = out.reshape(n_stems, n_pad, N)[:, :total]
     return out.reshape(n_stems, *batch, N)
