@@ -310,11 +310,14 @@ def mask_head_pallas(
     # is a pure reshape): rows padded by HALO (+DMA alignment), quads by
     # QHALO (+2 right, for the in-kernel group reshape), quads moved to the
     # leading axis for the kernel's leading-axis im2col slices.
-    xp = jnp.pad(x, ((0, 0), (HALO, ROWS_DMA - TT - HALO), (0, 0), (0, 0)))
-    xq = xp.reshape(sb, t2 + ROWS_DMA - TT, nq, QUAD * cin)
-    xq = jnp.pad(xq, ((0, 0), (0, 0), (QHALO, QHALO + 2), (0, 0))).transpose(
-        0, 2, 1, 3
-    )  # (SB, nq + 8, T2 + ROWS_DMA - TT, 128)
+    # The lane repack (F2, 32) -> (nq, 128) is a free bitcast reshape, and
+    # both halo pads fuse into ONE pass (two separate pads measured ~10 ms
+    # at the 300 s 4-stem workload); the quads-to-leading transpose stays
+    # host-side (doing it per-step in VMEM measured ~3x more expensive).
+    xq = jnp.pad(
+        x.reshape(sb, t2, nq, QUAD * cin),
+        ((0, 0), (HALO, ROWS_DMA - TT - HALO), (QHALO, QHALO + 2), (0, 0)),
+    ).transpose(0, 2, 1, 3)  # (SB, nq + 8, T2 + ROWS_DMA - TT, 128)
 
     out = pl.pallas_call(
         functools.partial(_head_kernel, act=act, nqc=nqc),
