@@ -347,13 +347,17 @@ def _pallas_head(
     return mask_cf.transpose(0, 2, 3, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("stem_mode", "compute_dtype", "sigmoid"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("stem_mode", "compute_dtype", "sigmoid", "pallas_head"),
+)
 def unet_forward(
     params: Params,
     magnitude: jax.Array,
     stem_mode: int = STEM_MODE_4,
     compute_dtype=jnp.float32,
     sigmoid: str = "exact",
+    pallas_head: bool = True,
 ) -> jax.Array:
     """Magnitude (batch, T, F, 2) -> soft mask (batch, T, F, 2) in [0, 1].
 
@@ -364,7 +368,7 @@ def unet_forward(
     oracle-parity path.
     """
     x = _unet_trunk(params, magnitude, stem_mode, compute_dtype)
-    if _use_pallas_head(params, magnitude, sigmoid):
+    if pallas_head and _use_pallas_head(params, magnitude, sigmoid):
         stacked = jax.tree.map(lambda a: a[None], params)
         return _pallas_head(stacked, x, stem_mode, 1)
     return _canonical_head(params, x, stem_mode, compute_dtype, sigmoid)
@@ -376,6 +380,7 @@ def multi_stem_forward(
     stem_mode: int = STEM_MODE_4,
     compute_dtype=jnp.float32,
     sigmoid: str = "exact",
+    pallas_head: bool = True,
 ) -> jax.Array:
     """Run S stacked U-Nets over one magnitude batch -> (S, batch, T, F, 2).
 
@@ -385,7 +390,7 @@ def multi_stem_forward(
     tail runs as one Pallas launch with stems folded into the batch grid
     axis (kernels/mask_head.py).
     """
-    if _use_pallas_head(stacked_params, magnitude, sigmoid):
+    if pallas_head and _use_pallas_head(stacked_params, magnitude, sigmoid):
         trunk = jax.vmap(
             lambda p: _unet_trunk(p, magnitude, stem_mode, compute_dtype)
         )(stacked_params)  # (S, B, T2, F2, 32)
@@ -394,5 +399,7 @@ def multi_stem_forward(
             stacked_params, trunk.reshape(s * b, *trunk.shape[2:]), stem_mode, s
         )
         return masks.reshape(s, b, *masks.shape[1:])
-    fwd = lambda p: unet_forward(p, magnitude, stem_mode, compute_dtype, sigmoid)
+    fwd = lambda p: unet_forward(
+        p, magnitude, stem_mode, compute_dtype, sigmoid, pallas_head
+    )
     return jax.vmap(fwd)(stacked_params)
