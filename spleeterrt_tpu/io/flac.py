@@ -112,26 +112,58 @@ class BitReader:
         self.pos = (self.pos + 7) // 8 * 8
 
     def rice_block(self, k: int, count: int) -> np.ndarray:
-        """Decode `count` Rice(k) codes, vectorized over the 1-bit positions."""
-        out = np.empty(count, dtype=np.int64)
+        """Decode `count` Rice(k) codes, vectorized over the 1-bit positions.
+
+        The stop bit of code i is the first 1-bit at or after the code's
+        start; the next code starts k+1 bits later (the remainder may itself
+        contain 1-bits, so stop bits are found by pointer-chasing through
+        the sorted 1-bit positions). The chase is vectorized with jump-table
+        doubling: O(L log count) NumPy work instead of a per-sample loop.
+        """
+        if count == 0:
+            return np.empty(0, dtype=np.int64)
         bits = self.bits
         pos = self.pos
-        # Find all 1-bits ahead once; quotients are gaps between them.
-        for i in range(count):
-            nz = pos
-            while bits[nz] == 0:
-                nz += 1
-            q = nz - pos
-            pos = nz + 1
-            r = 0
-            if k:
-                for b in bits[pos : pos + k]:
-                    r = (r << 1) | int(b)
-                pos += k
+        step = 1 + k
+        # Window sized for typical Rice streams; grown geometrically if the
+        # quotients turn out large.
+        window = count * (k + 3) + 64
+        while True:
+            ones = np.flatnonzero(bits[pos : pos + window])
+            L = ones.size
+            if L >= count:
+                # table[j] = index of the first 1-bit at/after ones[j]+step;
+                # sentinel index L maps to itself (ran off the window).
+                table = np.searchsorted(ones, ones + step)
+                table = np.append(table, L)
+                # Jump-table doubling: X holds stop-bit indices x_0..x_{n-1};
+                # applying the power-n composed table yields x_n..x_{2n-1}.
+                x = np.zeros(1, dtype=np.int64)  # x_0 = first 1-bit
+                comp = table
+                while x.size < count:
+                    x = np.concatenate([x, comp[x]])
+                    if x.size < count:
+                        comp = comp[comp]
+                x = x[:count]
+                if x[-1] < L and pos + ones[x[-1]] + step <= bits.size:
+                    break  # window covered every code incl. trailing bits
+            if pos + window >= bits.size:
+                raise EOFError("FLAC bitstream truncated in Rice block")
+            window *= 4
+        stops = ones[x]  # relative to pos
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = stops[:-1] + step
+        q = stops - starts
+        if k:
+            ridx = pos + stops[:, None] + 1 + np.arange(k, dtype=np.int64)
+            weights = np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
+            r = (bits[ridx].astype(np.int64) * weights).sum(axis=1)
             u = (q << k) | r
-            out[i] = (u >> 1) ^ -(u & 1)  # zigzag -> signed
-        self.pos = pos
-        return out
+        else:
+            u = q
+        self.pos = pos + int(stops[-1]) + step
+        return (u >> 1) ^ -(u & 1)  # zigzag -> signed
 
 
 @dataclass
@@ -184,6 +216,7 @@ def _decode_subframe(br: BitReader, block_size: int, bps: int) -> np.ndarray:
         out = _decode_predicted(
             br, block_size, bps, order,
             coeffs=np.array(FIXED_COEFFS[order], np.int64), shift=0,
+            fixed=True,
         )
     elif sf_type >= 32:  # LPC
         order = (sf_type & 0x1F) + 1
@@ -232,11 +265,21 @@ def _decode_residual(br: BitReader, block_size: int, order: int) -> np.ndarray:
 
 def _decode_predicted(
     br: BitReader, block_size: int, bps: int, order: int,
-    coeffs: np.ndarray, shift: int, warmup=None,
+    coeffs: np.ndarray, shift: int, warmup=None, fixed: bool = False,
 ) -> np.ndarray:
     if warmup is None:
         warmup = [br.read_signed(bps) for _ in range(order)]
     res = _decode_residual(br, block_size, order)
+    if fixed:
+        # Order-o fixed prediction is the o-th finite difference; invert it
+        # with o exact int64 cumsums seeded by the warmup's difference tails.
+        diffs = [np.asarray(warmup, dtype=np.int64)]
+        for _ in range(1, order):
+            diffs.append(np.diff(diffs[-1]))
+        seq = res
+        for j in range(order - 1, -1, -1):
+            seq = diffs[j][-1] + np.cumsum(seq)
+        return np.concatenate([diffs[0], seq])
     out = np.empty(block_size, dtype=np.int64)
     out[:order] = warmup
     c = coeffs  # c[0] multiplies the most recent sample
@@ -409,7 +452,7 @@ def _encode_subframe(bw: BitWriter, x: np.ndarray, bps: int):
         res = x.astype(np.int64).copy()
         for _ in range(order):
             res = np.diff(res)
-        cost = np.abs(res[order:] if False else res).sum()
+        cost = np.abs(res).sum()
         if best_cost is None or cost < best_cost:
             best_order, best_res, best_cost = order, res, cost
     bw.write(0, 1)  # padding
