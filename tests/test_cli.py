@@ -187,5 +187,78 @@ def test_http_server_separates(tmp_path, rng):
             wav = audio.read_wav(r.read())
         assert order == "vocals,accompaniment"
         assert wav.samples.shape == (4, 12000)
+
+        # --- robustness contract ---
+        import urllib.error
+
+        def post(path_q, data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path_q}", data=data, method="POST"
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, r.read()
+            except urllib.error.HTTPError as e:
+                return e.code, e.read()
+
+        # garbage body -> 400 (client error), not 500
+        code, _ = post("/separate", b"not a wav at all")
+        assert code == 400
+        # oversized body -> 413
+        service.max_body_bytes = 1024
+        code, _ = post("/separate", b"\0" * 2048)
+        assert code == 413
+        service.max_body_bytes = 1 << 28
+        # batch endpoint on a non-stacked (2-stem) server -> 400
+        code, _ = post("/separate_batch", b"PK\x03\x04junk")
+        assert code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_http_server_batch(tmp_path, rng):
+    import io as _io
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from spleeterrt_tpu.config import SeparatorConfig
+    from spleeterrt_tpu.core import model, separate, weights
+    from spleeterrt_tpu.runtime import server as srv_mod
+
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=4, compute_dtype=jnp.float32
+    )
+    stacked = weights.stack_params(
+        [model.init_params(jax.random.PRNGKey(i)) for i in range(4)]
+    )
+    service = srv_mod.SeparationService(cfg, {"stacked_params": stacked})
+    srv = srv_mod.make_server("127.0.0.1", 0, service)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t0 = (rng.standard_normal((2, 9000)) * 0.3).astype(np.float32)
+        t1 = (rng.standard_normal((2, 12000)) * 0.3).astype(np.float32)
+        buf = _io.BytesIO()
+        np.savez(buf, a=t0, b=t1)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/separate_batch",
+            data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = np.load(_io.BytesIO(r.read()))
+        assert set(out.files) == {
+            f"{t}/{s}" for t in ("a", "b") for s in cfg.stem_names
+        }
+        assert out["a/drums"].shape == (2, 9000)
+        assert out["b/vocals"].shape == (2, 12000)
+        # one batched dispatch == the single-track graph, per track
+        solo = separate.separate(t1, stacked_params=stacked, cfg=cfg)
+        np.testing.assert_allclose(
+            out["b/vocals"], np.asarray(solo["vocals"]), atol=2e-4
+        )
     finally:
         srv.shutdown()
