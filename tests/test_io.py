@@ -74,6 +74,48 @@ def test_resample_rejects_alias():
     assert np.sqrt(np.mean(y[1000:-1000] ** 2)) < 1e-3
 
 
+def test_resample_filter_meets_mq_spec():
+    """The designed filter must match the reference's libsamplerate-MQ grade
+    (121 dB SNR / 90% BW; Executable/libsamplerate/src_sinc.c:142-144):
+    >=121 dB stop-band attenuation beyond 110% of cutoff and <0.001 dB
+    passband ripple over 90% of the band."""
+    p, q = 147, 160  # 48k -> 44.1k
+    h = resample.kaiser_sinc_filter(p, q) / p  # unity-DC form
+    nfft = 1 << int(np.ceil(np.log2(h.size * 8)))
+    H = np.abs(np.fft.rfft(h, nfft))
+    f = np.fft.rfftfreq(nfft)
+    fc = 0.5 / max(p, q)
+    pb = H[f <= 0.90 * fc]
+    ripple_db = 20 * np.log10(pb.max() / pb.min())
+    atten_db = -20 * np.log10(H[f >= 1.10 * fc].max())
+    assert atten_db >= 121.0, f"stop-band {atten_db:.1f} dB"
+    assert ripple_db < 1e-3, f"passband ripple {ripple_db:.2e} dB"
+
+
+def test_resample_exact_ratio_no_drift():
+    """Non-round rates (44,056 Hz NTSC audio) must convert at the EXACT
+    rational ratio: output length = ceil(n*sr_out/sr_in) with p/q = 11025/11014
+    (irreducible), and a tone must land on exactly the right frequency with
+    no cumulative phase drift across a long signal."""
+    sr_in, sr_out = 44056, 44100
+    dur = 4.0
+    n = int(sr_in * dur)
+    f0 = 2000.0
+    t_in = np.arange(n) / sr_in
+    x = np.sin(2 * np.pi * f0 * t_in).astype(np.float32)
+    y = resample.resample(x, sr_in, sr_out)
+    assert y.shape[-1] == -(-n * sr_out // sr_in)  # exact ceil, not approx
+    # Compare directly against the ideal tone sampled at sr_out: any ratio
+    # approximation shows up as phase drift that grows with t and collapses
+    # the tail SNR.
+    t_out = np.arange(y.size) / sr_out
+    ref = np.sin(2 * np.pi * f0 * t_out)
+    tail = slice(y.size // 2, -4096)  # drift is worst late in the signal
+    err = y[tail] - ref[tail]
+    snr = 10 * np.log10(np.mean(ref[tail] ** 2) / np.mean(err**2))
+    assert snr > 90.0, f"tail SNR {snr:.1f} dB (ratio drift?)"
+
+
 def test_load_audio_wav(tmp_path, rng):
     x = (rng.standard_normal((2, 2000)) * 0.2).astype(np.float32)
     path = tmp_path / "a.wav"
