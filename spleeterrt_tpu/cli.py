@@ -124,6 +124,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _clamp_args(args)
 
+    # Fail fast on undecodable input before any device/weight work.
+    from spleeterrt_tpu.io import audio as _audio_check
+
+    if not os.path.exists(args.audio):
+        raise SystemExit(f"no such file: {args.audio}")
+    try:
+        _audio_check.check_decodable(args.audio)
+    except _audio_check.UnsupportedFormatError as e:
+        raise SystemExit(str(e))
+
     import jax
     import jax.numpy as jnp
 

@@ -57,6 +57,17 @@ def build_parser():
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Fail fast on undecodable input before any device/weight work.
+    if args.input != "-" and not args.raw:
+        from spleeterrt_tpu.io import audio as _audio_check
+
+        if not os.path.exists(args.input):
+            raise SystemExit(f"no such file: {args.input}")
+        try:
+            _audio_check.check_decodable(args.input)
+        except _audio_check.UnsupportedFormatError as e:
+            raise SystemExit(str(e))
+
     import jax.numpy as jnp
 
     from spleeterrt_tpu.config import STEMS_4, SeparatorConfig

@@ -30,6 +30,43 @@ class AudioData:
     sample_rate: int
 
 
+class UnsupportedFormatError(ValueError):
+    """Input format no available decoder can handle (e.g. MP3 without
+    soundfile/ffmpeg). Raised *before* any device/weight work so the CLI
+    fails fast with an actionable message."""
+
+
+def check_decodable(path: str | os.PathLike) -> None:
+    """Fail fast if `path`'s format has no available decoder.
+
+    WAV and FLAC decode natively (from-scratch codecs in this package). MP3
+    -- which the reference decodes via its vendored dr_mp3.h
+    (Executable/main.c:241-245) -- needs an external decoder here: a
+    validated from-scratch MPEG-1 Layer III decoder is not possible in this
+    environment (no encoder or test vectors to verify against, and the ISO
+    Huffman/synthesis-window tables are only obtainable by copying
+    dr_mp3.h), so MP3 works exactly when soundfile or ffmpeg is installed.
+    """
+    ext = os.path.splitext(str(path))[1].lower()
+    if ext in (".wav", ".flac"):
+        return
+    try:
+        import soundfile  # noqa: F401  (optional; not in the base image)
+
+        return
+    except ImportError:
+        pass
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        return
+    raise UnsupportedFormatError(
+        f"cannot decode {path}: {ext or 'unknown'} input requires the "
+        f"'soundfile' package or an 'ffmpeg' binary, and neither is "
+        f"installed. Convert to WAV or FLAC first (e.g. "
+        f"`ffmpeg -i {path} track.wav` on a machine that has ffmpeg), or "
+        f"`pip install soundfile`."
+    )
+
+
 def read_wav(path: str | os.PathLike | bytes) -> AudioData:
     """Parse a RIFF/WAVE file into float32 (channels, n)."""
     if isinstance(path, (bytes, bytearray)):
@@ -184,10 +221,9 @@ def load_audio(path: str | os.PathLike) -> AudioData:
         with open(path, "rb") as f:
             samples, rate = flac_codec.decode_flac(f.read())
         return AudioData(samples, rate)
+    check_decodable(path)  # raises UnsupportedFormatError with guidance
     for reader in (_read_via_soundfile, _read_via_ffmpeg):
         out = reader(path)
         if out is not None:
             return out
-    raise ValueError(
-        f"cannot decode {path}: non-WAV formats need soundfile or ffmpeg"
-    )
+    raise ValueError(f"decoding {path} failed (corrupt file?)")
