@@ -125,6 +125,72 @@ def test_bf16_pipeline_snr_vs_fp32(rng):
         assert m["snr_db"] > 30.0, (stem, m)
 
 
+def _realistic_params(rng, key):
+    """Worst-case trained-magnitude params (docs/NUMERICS.md section 6).
+
+    The reference ships trained blobs we cannot load here (model.7z absent),
+    so this constructs the adversarial end of plausible trained dynamics:
+    he-normal conv weights, folded-BN scales log-uniform over [0.05, 30] with
+    random sign (gamma/sqrt(var) can reach O(10) when var is small), shifts
+    up to +-8, and a final conv scaled so the sigmoid logits saturate (+-20).
+    """
+    import jax
+    from spleeterrt_tpu.core import model
+
+    p = model.init_params(key)
+    out = {}
+    for ln, layer in p.items():
+        new = dict(layer)
+        if "bn_scale" in layer:
+            c = layer["bn_scale"].shape[0]
+            sgn = rng.choice([-1.0, 1.0], c)
+            new["bn_scale"] = jnp.asarray(
+                sgn * np.exp(rng.uniform(np.log(0.05), np.log(30.0), c)),
+                jnp.float32,
+            )
+            new["bn_shift"] = jnp.asarray(rng.uniform(-8, 8, c), jnp.float32)
+        new["b"] = jnp.asarray(
+            rng.uniform(-0.5, 0.5, layer["b"].shape[0]), jnp.float32
+        )
+        out[ln] = new
+    out["up7"] = dict(out["up7"], w=out["up7"]["w"] * 25.0)
+    return out
+
+
+def test_bf16_snr_at_realistic_weight_scale(rng):
+    """Pin the production bf16 default at adversarially-scaled weights.
+
+    The toy-scale test above (random 0.02-scale blobs) is a >30 dB check;
+    this one drives BN scales to O(30) and saturates the final logits --
+    measured 21-35 dB bf16-vs-fp32 across stems/seeds. Bound set at >19 dB
+    with seed margin; rationale in docs/NUMERICS.md section 6.
+    """
+    import jax
+    from spleeterrt_tpu.utils import metrics
+
+    params = _realistic_params(rng, jax.random.PRNGKey(7))
+    n = 60000
+    t = np.arange(n) / 44100.0
+    x = (
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1870 * t + 0.4)
+        + 0.05 * rng.standard_normal(n)
+    )
+    audio = np.stack([x, 0.8 * x]).astype(np.float32)
+
+    ref = separate.separate(audio, params=params, cfg=CFG2)
+    cfg_bf16 = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.bfloat16
+    )
+    got = separate.separate(audio, params=params, cfg=cfg_bf16)
+    rep = metrics.stem_report(
+        {k: np.asarray(v) for k, v in got.items()},
+        {k: np.asarray(v) for k, v in ref.items()},
+    )
+    for stem, m in rep.items():
+        assert m["snr_db"] > 19.0, (stem, m)
+
+
 def test_5stem_graph(rng):
     cfg = SeparatorConfig(
         bin_limit=512, time_step=64, num_stems=5, compute_dtype=jnp.float32
