@@ -1,0 +1,101 @@
+"""On-chip streaming (RT engine) benchmark: block latency and streams/chip.
+
+Measures `runtime.stream.block_step_streams` at the VST 4-stem config
+(bin_limit 1536, timeStep 256 -> one block = 256 hops x 1024 samples =
+5.944 s of audio) for K concurrent streams per dispatch. Reference: the VST
+must sustain ONE stream at 1x realtime on 5 CPU threads
+(VST/Source/Spleeter4Stems.c, TASK_NB=5).
+
+Prints one BENCH-style JSON line per K:
+  {"metric": "stream_block_ms_K<k>", ...} plus a streams-at-realtime summary.
+
+Usage: python benchmarks/bench_stream.py [--streams 1 4 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jaxcache",
+)
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import numpy as np
+
+from spleeterrt_tpu.config import SeparatorConfig
+from spleeterrt_tpu.core import model
+from spleeterrt_tpu.runtime import stream
+
+SR = 44100
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, nargs="+", default=[1, 4, 16])
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    cfg = SeparatorConfig(
+        bin_limit=1536, time_step=256, num_stems=4, compute_dtype=jnp.bfloat16
+    )
+    params4 = [model.init_params(jax.random.PRNGKey(i)) for i in range(4)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params4)
+    block_samples = cfg.time_step * stream.HOP
+    block_seconds = block_samples / SR
+    rng = np.random.default_rng(0)
+
+    results = []
+    for k in args.streams:
+        state = stream.init_state_streams(cfg, 4, k)
+        block = jnp.asarray(
+            rng.standard_normal((k, 2, block_samples)) * 0.3, jnp.float32
+        )
+        # Warm (compile); carry the state like a real serving loop would.
+        state, out = stream.block_step_streams(stacked, state, block, cfg, 4)
+        float(jnp.sum(jnp.abs(out)))
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            state, out = stream.block_step_streams(stacked, state, block, cfg, 4)
+            float(jnp.sum(jnp.abs(out)))  # sync (axon underreports b.u.r.)
+            best = min(best, time.perf_counter() - t0)
+        per_stream_rtf = block_seconds / best * k
+        results.append(
+            {
+                "metric": f"stream_block_ms_K{k}",
+                "value": round(best * 1e3, 2),
+                "unit": "ms_per_block_dispatch",
+                "vs_baseline": round(per_stream_rtf, 1),
+            }
+        )
+        print(json.dumps(results[-1]))
+
+    # Streams sustainable at 1x realtime each = K * block_s / step_s, using
+    # the best (largest measured K) marginal rate.
+    best_k = results[-1]
+    streams_rt = best_k["vs_baseline"]
+    print(
+        json.dumps(
+            {
+                "metric": "streams_per_chip_at_realtime",
+                "value": int(streams_rt),
+                "unit": "concurrent_streams",
+                "vs_baseline": round(streams_rt / 1.0, 1),  # VST: 1 stream/5 threads
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,8 @@ def _tconv_same(x: jax.Array, w: jax.Array) -> jax.Array:
 FORCE_FAST_LAYOUTS: bool | None = None
 # Same, for the fused Pallas decoder tail (kernels/mask_head.py).
 FORCE_PALLAS_HEAD: bool | None = None
+# Same, for the fused Pallas encoder front (kernels/encoder.py).
+FORCE_PALLAS_ENCODER: bool | None = None
 
 
 def _use_fast_layouts() -> bool:
@@ -281,16 +283,38 @@ def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
-def _unet_trunk(
-    params: Params, magnitude: jax.Array, stem_mode: int, compute_dtype
-) -> jax.Array:
-    """Encoder + decoder through up5 -> up6's input (batch, T/2, F/2, 32)
-    = concat([conv1 skip, up5 output], channels)."""
-    x = magnitude.astype(compute_dtype)
-    cast = lambda a: a.astype(compute_dtype)
+def _use_pallas_encoder(params: Params, magnitude: jax.Array) -> bool:
+    """Fused enc1-enc3 kernels: accelerator fast path only.
 
-    skips = []
-    for i in range(1, 7):
+    The kernels hard-code the standard channel ladder (2->16->32->64) and
+    need quad/row-divisible shapes. `params` may carry a leading stem axis.
+    """
+    from spleeterrt_tpu.kernels import encoder
+
+    t, f, c = magnitude.shape[-3], magnitude.shape[-2], magnitude.shape[-1]
+    ok = (
+        params["down1"]["w"].shape[-4:] == (5, 5, 2, 16)
+        and params["down2"]["w"].shape[-4:] == (5, 5, 16, 32)
+        and params["down3"]["w"].shape[-4:] == (5, 5, 32, 64)
+        and encoder.supports(t, f, c)
+    )
+    if FORCE_PALLAS_ENCODER is not None:
+        return FORCE_PALLAS_ENCODER and ok
+    return jax.default_backend() != "cpu" and ok
+
+
+def _trunk_tail(
+    params: Params,
+    x: jax.Array,  # enc3's activated output (batch, T/8, F/8, 64)
+    skips3: tuple[jax.Array, jax.Array, jax.Array],  # conv1..conv3 pre-act
+    stem_mode: int,
+    compute_dtype,
+) -> jax.Array:
+    """enc4..enc6 + up1..up5 -> up6's input (batch, T/2, F/2, 32)
+    = concat([conv1 skip, up5 output], channels)."""
+    cast = lambda a: a.astype(compute_dtype)
+    skips = list(skips3)
+    for i in range(4, 7):
         ly = params[f"down{i}"]
         conv = _conv_encoder(x, cast(ly["w"]), i) + cast(ly["b"])
         if i < 6:
@@ -309,6 +333,65 @@ def _unet_trunk(
         # (spleeter.c:239-288, README "Fast neural network inference").
         x = jnp.concatenate([skips[5 - i], y], axis=-1)
     return x
+
+
+def _unet_trunk(
+    params: Params, magnitude: jax.Array, stem_mode: int, compute_dtype
+) -> jax.Array:
+    """Encoder + decoder through up5 (canonical XLA enc1-enc3 front)."""
+    x = magnitude.astype(compute_dtype)
+    cast = lambda a: a.astype(compute_dtype)
+
+    skips = []
+    for i in range(1, 4):
+        ly = params[f"down{i}"]
+        conv = _conv_encoder(x, cast(ly["w"]), i) + cast(ly["b"])
+        skips.append(conv)
+        x = _act_encoder(
+            cast(ly["bn_scale"]) * conv + cast(ly["bn_shift"]), stem_mode
+        )
+    return _trunk_tail(params, x, tuple(skips), stem_mode, compute_dtype)
+
+
+def _multi_stem_trunk(
+    stacked_params: Params,
+    magnitude: jax.Array,  # (B, T, F, 2), shared across stems
+    stem_mode: int,
+    compute_dtype,
+) -> jax.Array:
+    """All-stems trunk -> (S, B, T/2, F/2, 32).
+
+    On accelerators the enc1-enc3 front runs as fused Pallas kernels with
+    stems folded into the batch grid axis (kernels/encoder.py); the
+    remaining layers stay on XLA convs (C >= 128, already MXU-efficient).
+    """
+    if _use_pallas_encoder(stacked_params, magnitude):
+        from spleeterrt_tpu.kernels import encoder
+
+        s = jax.tree.leaves(stacked_params)[0].shape[0]
+        b = magnitude.shape[0]
+        act = "elu" if stem_mode == STEM_MODE_4 else "leaky"
+        skip1, skip2, skip3, act3 = encoder.encoder3_pallas(
+            {k: stacked_params[k] for k in ("down1", "down2", "down3")},
+            magnitude,
+            act=act,
+            compute_dtype=compute_dtype,
+        )
+        unstack = lambda a: a.reshape(s, b, *a.shape[1:])
+        return jax.vmap(
+            lambda p, x, s1, s2, s3: _trunk_tail(
+                p, x, (s1, s2, s3), stem_mode, compute_dtype
+            )
+        )(
+            stacked_params,
+            unstack(act3),
+            unstack(skip1),
+            unstack(skip2),
+            unstack(skip3),
+        )
+    return jax.vmap(
+        lambda p: _unet_trunk(p, magnitude, stem_mode, compute_dtype)
+    )(stacked_params)
 
 
 def _canonical_head(
@@ -367,7 +450,11 @@ def unet_forward(
     are promoted to fp32 for the sigmoid. fp32 `compute_dtype` gives the
     oracle-parity path.
     """
-    x = _unet_trunk(params, magnitude, stem_mode, compute_dtype)
+    if _use_pallas_encoder(params, magnitude):
+        stacked = jax.tree.map(lambda a: a[None], params)
+        x = _multi_stem_trunk(stacked, magnitude, stem_mode, compute_dtype)[0]
+    else:
+        x = _unet_trunk(params, magnitude, stem_mode, compute_dtype)
     if pallas_head and _use_pallas_head(params, magnitude, sigmoid):
         stacked = jax.tree.map(lambda a: a[None], params)
         return _pallas_head(stacked, x, stem_mode, 1)
@@ -391,9 +478,9 @@ def multi_stem_forward(
     axis (kernels/mask_head.py).
     """
     if pallas_head and _use_pallas_head(stacked_params, magnitude, sigmoid):
-        trunk = jax.vmap(
-            lambda p: _unet_trunk(p, magnitude, stem_mode, compute_dtype)
-        )(stacked_params)  # (S, B, T2, F2, 32)
+        trunk = _multi_stem_trunk(
+            stacked_params, magnitude, stem_mode, compute_dtype
+        )  # (S, B, T2, F2, 32)
         s, b = trunk.shape[:2]
         masks = _pallas_head(
             stacked_params, trunk.reshape(s * b, *trunk.shape[2:]), stem_mode, s

@@ -113,6 +113,91 @@ def init_state(cfg: SeparatorConfig, n_stems: int) -> StreamState:
     )
 
 
+def init_state_streams(
+    cfg: SeparatorConfig, n_stems: int, n_streams: int
+) -> StreamState:
+    """Scan carry for `block_step_streams`: leading stream axis on every leaf."""
+    one = init_state(cfg, n_stems)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape), one
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_stems", "out_band")
+)
+def block_step_streams(
+    stacked_params: Params,
+    state: StreamState,  # leaves carry a leading stream axis K
+    block_in: jax.Array,  # (K, 2, T * HOP)
+    cfg: SeparatorConfig,
+    n_stems: int = 4,
+    out_band: tuple[float, ...] = RT_OUT_BAND,
+):
+    """One timeStep block of K concurrent independent streams.
+
+    Returns (new_state, out_block (K, S, 2, T * HOP)). Batching K streams
+    into one dispatch is the TPU serving shape: the per-block U-Net call
+    feeds K tiles x S stems to the batch grid instead of a single starving
+    tile (the reference serves one stream per plugin instance,
+    VST/Source/Spleeter4Stems.c:512-582; a chip replaces a rack of them).
+    Stream k's output is sample-exact equal to running it alone.
+    """
+    t = cfg.time_step
+    k_streams = block_in.shape[0]
+    wa, ws = asymmetric_windows()
+    wa = jnp.asarray(wa, jnp.float32)
+    ws = jnp.asarray(ws, jnp.float32)
+
+    # --- Synthesis of this block's output from the carry ------------------
+    bl = cfg.bin_limit
+    uw = jnp.asarray(out_band, jnp.float32)  # (S,)
+    # masks (K, S, T, bl, 2) -> (K, S, 2, T, bl) aligning with spec.
+    m_in = state.masks2.transpose(0, 1, 4, 2, 3)
+    spec = state.spec2[:, None]  # (K, 1, 2, T, bins)
+    masked_in = spec[..., :bl] * m_in.astype(jnp.complex64)
+    masked_out = spec[..., bl:] * uw[:, None, None, None].astype(jnp.complex64)
+    masked = jnp.concatenate([masked_in, masked_out], axis=-1)
+    frames_t = transform.irfft(masked, FFT_SIZE)  # (K,S,2,T,FFT)
+    tails = frames_t[..., SAMPLE_SHIFT:] * ws  # (K,S,2,T,SYNTH_LEN)
+    # out hop c = tails[c][:HOP] + tails[c-1][HOP:], c-1 = -1 from carry.
+    heads = tails[..., :HOP]
+    prevs = jnp.concatenate(
+        [state.ola_tail[:, :, :, None, :], tails[..., :-1, HOP:]], axis=3
+    )
+    out_block = (heads + prevs).reshape(k_streams, n_stems, 2, t * HOP)
+
+    # --- Analysis of the incoming block -----------------------------------
+    ext = jnp.concatenate([state.in_tail, block_in], axis=-1)
+    # frame c = ext[c*HOP : c*HOP + FFT_SIZE]; HOP divides FFT_SIZE -> use
+    # the shifted-reshape framing (4 concatenated block views).
+    n_blocks_r = t + (FFT_SIZE // HOP) - 1
+    blocks = ext.reshape(k_streams, 2, n_blocks_r, HOP)
+    frames = jnp.concatenate(
+        [blocks[:, :, k : k + t, :] for k in range(FFT_SIZE // HOP)], axis=-1
+    )
+    spec_cur = transform.rfft(frames * wa, FFT_SIZE)  # (K, 2, T, N_BINS)
+
+    # Masks for the block now entering the spec2 slot: computed from ITS OWN
+    # magnitudes, exactly what the C engine's background threads (started at
+    # that block's boundary, joined one block later) produce. All K streams'
+    # tiles batch through one fused multi-stem U-Net call.
+    mag = jnp.abs(state.spec1[..., :bl])  # (K, 2, T, bl)
+    nn_in = mag.transpose(0, 2, 3, 1)  # (K, T, bl, 2)
+    masks_new = multi_stem_forward(
+        stacked_params, nn_in, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+    ).transpose(1, 0, 2, 3, 4)  # (K, S, T, bl, 2)
+
+    new_state = StreamState(
+        in_tail=ext[:, :, -(FFT_SIZE - HOP) :],
+        spec1=spec_cur,
+        spec2=state.spec1,
+        masks2=masks_new,
+        ola_tail=tails[..., -1, HOP:],
+    )
+    return new_state, out_block
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_stems", "out_band")
 )
@@ -128,59 +213,13 @@ def block_step(
 
     `out_block` is the audio played WHILE `block_in` arrives; it depends only
     on the carry (previous blocks), preserving the C engine's causality and
-    two-block latency.
+    two-block latency. Single-stream wrapper of `block_step_streams`.
     """
-    t = cfg.time_step
-    wa, ws = asymmetric_windows()
-    wa = jnp.asarray(wa, jnp.float32)
-    ws = jnp.asarray(ws, jnp.float32)
-
-    # --- Synthesis of this block's output from the carry ------------------
-    bl = cfg.bin_limit
-    uw = jnp.asarray(out_band, jnp.float32)  # (S,)
-    # masks (S, T, bl, 2) -> (S, 2, T, bl) to align with spec (2, T, bins).
-    m_in = state.masks2.transpose(0, 3, 1, 2)
-    spec = state.spec2[None]  # (1, 2, T, bins)
-    masked_in = spec[..., :bl] * m_in.astype(jnp.complex64)
-    masked_out = spec[..., bl:] * uw[:, None, None, None].astype(jnp.complex64)
-    masked = jnp.concatenate([masked_in, masked_out], axis=-1)
-    frames_t = transform.irfft(masked, FFT_SIZE)  # (S,2,T,FFT)
-    tails = frames_t[..., SAMPLE_SHIFT:] * ws  # (S,2,T,SYNTH_LEN)
-    # out hop c = tails[c][:HOP] + tails[c-1][HOP:], c-1 = -1 from carry.
-    heads = tails[..., :HOP]
-    prevs = jnp.concatenate(
-        [state.ola_tail[:, :, None, :], tails[..., :-1, HOP:]], axis=2
+    state1 = jax.tree.map(lambda a: a[None], state)
+    new_state, out = block_step_streams(
+        stacked_params, state1, block_in[None], cfg, n_stems, out_band
     )
-    out_block = (heads + prevs).reshape(n_stems, 2, t * HOP)
-
-    # --- Analysis of the incoming block -----------------------------------
-    ext = jnp.concatenate([state.in_tail, block_in], axis=-1)
-    # frame c = ext[c*HOP : c*HOP + FFT_SIZE]; HOP divides FFT_SIZE -> use
-    # the shifted-reshape framing (4 concatenated block views).
-    n_blocks_r = t + (FFT_SIZE // HOP) - 1
-    blocks = ext.reshape(2, n_blocks_r, HOP)
-    frames = jnp.concatenate(
-        [blocks[:, k : k + t, :] for k in range(FFT_SIZE // HOP)], axis=-1
-    )
-    spec_cur = transform.rfft(frames * wa, FFT_SIZE)  # (2, T, N_BINS)
-
-    # Masks for the block now entering the spec2 slot: computed from ITS OWN
-    # magnitudes, exactly what the C engine's background threads (started at
-    # that block's boundary, joined one block later) produce.
-    mag = jnp.abs(state.spec1[..., :bl])  # (2, T, bl)
-    nn_in = mag.transpose(1, 2, 0)[None]  # (1, T, bl, 2)
-    masks_new = multi_stem_forward(
-        stacked_params, nn_in, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
-    )[:, 0]  # (S, T, bl, 2)
-
-    new_state = StreamState(
-        in_tail=ext[:, -(FFT_SIZE - HOP) :],
-        spec1=spec_cur,
-        spec2=state.spec1,
-        masks2=masks_new,
-        ola_tail=tails[..., -1, HOP:],
-    )
-    return new_state, out_block
+    return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stems", "out_band"))

@@ -126,3 +126,28 @@ def test_chunked_executor_matches_monolithic(rng):
         np.testing.assert_allclose(
             got[i], np.asarray(ref[stem]), atol=5e-5, err_msg=stem
         )
+
+
+def test_block_step_streams_matches_independent(rng):
+    """K batched streams are sample-exact vs running each stream alone."""
+    stacked, _ = _setup(rng)
+    k, t = 3, CFG.time_step
+    blocks = jnp.asarray(
+        rng.standard_normal((2, k, 2, t * 1024)), jnp.float32
+    ) * 0.3  # two consecutive blocks per stream
+
+    state_k = stream.init_state_streams(CFG, 2, k)
+    outs_k = []
+    for i in range(2):
+        state_k, out = stream.block_step_streams(
+            stacked, state_k, blocks[i], CFG, 2, OUT_BAND
+        )
+        outs_k.append(np.asarray(out))
+
+    for s in range(k):
+        state = stream.init_state(CFG, 2)
+        for i in range(2):
+            state, out = stream.block_step(
+                stacked, state, blocks[i, s], CFG, 2, OUT_BAND
+            )
+            np.testing.assert_array_equal(outs_k[i][s], np.asarray(out))
