@@ -54,19 +54,152 @@ def load_track(
     return Track(mixture=mixture, stems=stems)
 
 
+class _DecodedCache:
+    """Bounded LRU of fully-decoded tracks (the fallback for files the
+    seeked WAV reader can't stream: FLAC, or a sample-rate mismatch that
+    needs whole-signal resampling)."""
+
+    def __init__(self, max_tracks: int):
+        self.max_tracks = max_tracks
+        self._items: dict[str, np.ndarray] = {}
+
+    def get(self, path: str, loader) -> np.ndarray:
+        if path in self._items:
+            self._items[path] = self._items.pop(path)  # refresh LRU order
+            return self._items[path]
+        x = loader()
+        self._items[path] = x
+        while len(self._items) > self.max_tracks:
+            self._items.pop(next(iter(self._items)))
+        return x
+
+
+class _StemFile:
+    """One stem file: streaming (seeked WAV) or cached-decode access."""
+
+    def __init__(self, path: str, sample_rate: int, cache: _DecodedCache):
+        self.path = path
+        self._cache = cache
+        self._rate = sample_rate
+        self.reader = None
+        if path.lower().endswith(".wav"):
+            try:
+                r = audio_io.WavReader(path)
+                if r.sample_rate == sample_rate:
+                    self.reader = r
+            except ValueError:
+                pass
+        if self.reader is None:
+            self.n_frames = self._decode().shape[1]
+        else:
+            self.n_frames = self.reader.n_frames
+        self.streaming = self.reader is not None
+
+    def _decode(self) -> np.ndarray:
+        def load():
+            data = audio_io.load_audio(self.path)
+            x = data.samples
+            if data.sample_rate != self._rate:
+                x = resample.resample(x, data.sample_rate, self._rate)
+            return _to_stereo(x)
+
+        return self._cache.get(self.path, load)
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """(2, count) float32, zero-padded past either end."""
+        if self.reader is not None:
+            return _to_stereo(self.reader.read(start, count))
+        x = self._decode()
+        out = np.zeros((2, count), np.float32)
+        lo = max(0, min(start, x.shape[1]))
+        hi = max(0, min(start + count, x.shape[1]))
+        out[:, lo - start : hi - start] = x[:, lo:hi]
+        return out
+
+
+def _to_stereo(x: np.ndarray) -> np.ndarray:
+    if x.shape[0] == 1:
+        x = np.repeat(x, 2, axis=0)
+    return np.ascontiguousarray(x[:2], dtype=np.float32)
+
+
+class TrackHandle:
+    """Lazy per-track access: stem files opened header-only; crops read
+    O(crop) bytes. A missing mixture.wav is synthesized as the stem sum at
+    read time (same contract as `load_track`)."""
+
+    def __init__(
+        self, track_dir: str, stem_names: tuple[str, ...],
+        sample_rate: int, cache: _DecodedCache,
+    ):
+        self.dir = track_dir
+        self.stem_names = stem_names
+        def find(stem):
+            for ext in (".wav", ".flac"):
+                p = os.path.join(track_dir, stem + ext)
+                if os.path.exists(p):
+                    return p
+            return os.path.join(track_dir, stem + ".wav")  # let it raise
+
+        self.files = {
+            s: _StemFile(find(s), sample_rate, cache) for s in stem_names
+        }
+        mix_path = os.path.join(track_dir, "mixture.wav")
+        self.mix_file = (
+            _StemFile(mix_path, sample_rate, cache)
+            if os.path.exists(mix_path)
+            else None
+        )
+        self.n_frames = min(f.n_frames for f in self.files.values())
+        if self.mix_file is not None:
+            self.n_frames = min(self.n_frames, self.mix_file.n_frames)
+
+    @property
+    def streaming(self) -> bool:
+        files = list(self.files.values())
+        if self.mix_file is not None:
+            files.append(self.mix_file)
+        return all(f.streaming for f in files)
+
+    def read_crop(self, start: int, count: int):
+        """-> (mix (2, L), stems (S, 2, L)) float32."""
+        stems = np.stack(
+            [self.files[s].read(start, count) for s in self.stem_names]
+        )
+        if self.mix_file is not None:
+            mix = self.mix_file.read(start, count)
+        else:
+            mix = stems.sum(0)
+        return mix, stems
+
+    @property
+    def mixture(self) -> np.ndarray:
+        """Full mixture (decoded on demand; for eval/tests, not the hot path)."""
+        return self.read_crop(0, self.n_frames)[0]
+
+
 class StemDataset:
-    """Directory of track dirs -> random (mixture, stems) crops."""
+    """Directory of track dirs -> random (mixture, stems) crops.
+
+    Streaming: construction opens WAV headers only; each `sample_crop` reads
+    O(crop_len) bytes from disk. RAM stays bounded by `cache_tracks` fully
+    decoded tracks regardless of corpus size (only non-streamable files --
+    FLAC or rate-mismatched WAV -- ever enter that cache).
+    """
 
     def __init__(
         self, root: str | os.PathLike, stem_names: tuple[str, ...],
-        sample_rate: int = 44100,
+        sample_rate: int = 44100, cache_tracks: int = 2,
     ):
         self.stem_names = stem_names
-        self.tracks = []
+        self._cache = _DecodedCache(max(1, cache_tracks) * len(stem_names) + 1)
+        self.tracks: list[TrackHandle] = []
         for name in sorted(os.listdir(root)):
             d = os.path.join(root, name)
             if os.path.isdir(d):
-                self.tracks.append(load_track(d, stem_names, sample_rate))
+                self.tracks.append(
+                    TrackHandle(d, stem_names, sample_rate, self._cache)
+                )
         if not self.tracks:
             raise ValueError(f"no track directories under {root}")
 
@@ -75,19 +208,8 @@ class StemDataset:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Random track + random crop -> (mix (2, L), stems (S, 2, L))."""
         tr = self.tracks[rng.integers(len(self.tracks))]
-        n = min(
-            tr.mixture.shape[1], *(s.shape[1] for s in tr.stems.values())
-        )
-        start = int(rng.integers(max(1, n - crop_len + 1)))
-        sl = slice(start, start + crop_len)
-        mix = np.zeros((2, crop_len), np.float32)
-        take = tr.mixture[:, sl]
-        mix[:, : take.shape[1]] = take
-        stems = np.zeros((len(self.stem_names), 2, crop_len), np.float32)
-        for i, name in enumerate(self.stem_names):
-            take = tr.stems[name][:, sl]
-            stems[i, :, : take.shape[1]] = take
-        return mix, stems
+        start = int(rng.integers(max(1, tr.n_frames - crop_len + 1)))
+        return tr.read_crop(start, crop_len)
 
 
 def crop_samples(cfg: SeparatorConfig) -> int:
@@ -120,6 +242,18 @@ def to_magnitudes(
     return mix_mag, tgt
 
 
+SILENCE_RMS = 1e-5  # below ~-100 dBFS a stem crop counts as silent
+
+
+def stem_activity(stems: np.ndarray) -> np.ndarray:
+    """(B, S, 2, L) time-domain stems -> (S, B) float32 1.0/0.0 activity.
+
+    Silent-stem crops carry no separation signal (an all-zero target teaches
+    the mask to collapse); the loss downweights them via this mask."""
+    rms = np.sqrt(np.mean(np.square(stems), axis=(2, 3)))  # (B, S)
+    return (rms > SILENCE_RMS).astype(np.float32).T
+
+
 def batches(
     dataset: StemDataset,
     cfg: SeparatorConfig,
@@ -127,7 +261,8 @@ def batches(
     seed: int = 0,
     steps: int | None = None,
 ):
-    """Infinite (or `steps`-bounded) iterator of device-ready batches."""
+    """Infinite (or `steps`-bounded) iterator of device-ready batches
+    (mix_mag (B,T,F,2), target_mags (S,B,T,F,2), active (S,B))."""
     rng = np.random.default_rng(seed)
     crop = crop_samples(cfg)
     i = 0
@@ -135,7 +270,9 @@ def batches(
         mixes, stems = zip(
             *(dataset.sample_crop(rng, crop) for _ in range(batch_size))
         )
-        yield to_magnitudes(
-            jnp.asarray(np.stack(mixes)), jnp.asarray(np.stack(stems)), cfg
+        stems = np.stack(stems)
+        mix_mag, tgt = to_magnitudes(
+            jnp.asarray(np.stack(mixes)), jnp.asarray(stems), cfg
         )
+        yield mix_mag, tgt, jnp.asarray(stem_activity(stems))
         i += 1

@@ -107,6 +107,79 @@ def read_wav(path: str | os.PathLike | bytes) -> AudioData:
         return AudioData(np.ascontiguousarray(samples), rate)
 
 
+class WavReader:
+    """Seekable WAV handle: header-only open, frame-range reads.
+
+    Backs the streaming training dataset (data/dataset.py): tracks are never
+    held in RAM; each crop seeks into the data chunk and decodes only the
+    requested frames. Supports every format `read_wav` does (the reference
+    always decodes whole files into memory, Executable/main.c:230-276; at
+    training scale that is the difference between O(crop) and O(corpus)).
+    """
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        with open(self.path, "rb") as f:
+            riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+            if riff != b"RIFF" or wave != b"WAVE":
+                raise ValueError(f"not a RIFF/WAVE file: {self.path}")
+            fmt = None
+            self._data_off = None
+            self._data_size = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, csize = struct.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    fmt = f.read(csize)
+                    if csize % 2:
+                        f.read(1)
+                elif cid == b"data":
+                    self._data_off = f.tell()
+                    self._data_size = csize
+                    if fmt is not None:
+                        break
+                    f.seek(csize + csize % 2, 1)
+                else:
+                    f.seek(csize + csize % 2, 1)
+            if fmt is None or self._data_off is None:
+                raise ValueError(f"missing fmt/data chunk: {self.path}")
+        tag, channels, rate, _bps, _align, bits = struct.unpack(
+            "<HHIIHH", fmt[:16]
+        )
+        if tag == WAVE_FORMAT_EXTENSIBLE:
+            tag = struct.unpack("<H", fmt[24:26])[0]
+        self.tag, self.channels, self.sample_rate, self.bits = (
+            tag, channels, rate, bits,
+        )
+        self._frame_bytes = channels * (bits // 8)
+        self.n_frames = self._data_size // self._frame_bytes
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """Frames [start, start+count) as (channels, count) float32.
+
+        Out-of-range frames read as silence (zero-padded), matching the
+        dataset's crop-past-end contract.
+        """
+        lo = max(0, min(start, self.n_frames))
+        hi = max(0, min(start + count, self.n_frames))
+        out = np.zeros((self.channels, count), np.float32)
+        if hi > lo:
+            with open(self.path, "rb") as f:
+                f.seek(self._data_off + lo * self._frame_bytes)
+                raw = f.read((hi - lo) * self._frame_bytes)
+            x = _decode_pcm(raw, self.tag, self.bits)
+            n = x.size // self.channels
+            out[:, lo - start : lo - start + n] = (
+                x[: n * self.channels].reshape(n, self.channels).T
+            )
+        return out
+
+    def read_all(self) -> np.ndarray:
+        return self.read(0, self.n_frames)
+
+
 def _decode_pcm(data: bytes, tag: int, bits: int) -> np.ndarray:
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         dtype = "<f4" if bits == 32 else "<f8"
