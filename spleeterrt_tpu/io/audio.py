@@ -41,15 +41,18 @@ def check_decodable(path: str | os.PathLike) -> None:
 
     WAV and FLAC decode natively (from-scratch codecs in this package). MP3
     -- which the reference decodes via its vendored dr_mp3.h
-    (Executable/main.c:241-245) -- needs an external decoder here: a
-    validated from-scratch MPEG-1 Layer III decoder is not possible in this
-    environment (no encoder or test vectors to verify against, and the ISO
-    Huffman/synthesis-window tables are only obtainable by copying
-    dr_mp3.h), so MP3 works exactly when soundfile or ffmpeg is installed.
+    (Executable/main.c:241-245) -- decodes through the system's libmpg123
+    (io/mpg123.py) or the from-scratch Layer III decoder (io/mp3.py), with
+    soundfile/ffmpeg as further fallbacks.
     """
     ext = os.path.splitext(str(path))[1].lower()
     if ext in (".wav", ".flac"):
         return
+    if ext == ".mp3":
+        from spleeterrt_tpu.io import mpg123
+
+        if mpg123.available():
+            return
     try:
         import soundfile  # noqa: F401  (optional; not in the base image)
 
@@ -58,6 +61,8 @@ def check_decodable(path: str | os.PathLike) -> None:
         pass
     if shutil.which("ffmpeg") and shutil.which("ffprobe"):
         return
+    if ext == ".mp3":
+        return  # io/mp3.py from-scratch decoder is always importable
     raise UnsupportedFormatError(
         f"cannot decode {path}: {ext or 'unknown'} input requires the "
         f"'soundfile' package or an 'ffmpeg' binary, and neither is "
@@ -281,10 +286,28 @@ def _read_via_ffmpeg(path) -> AudioData | None:
     return AudioData(np.ascontiguousarray(x[: n * channels].reshape(n, channels).T), rate)
 
 
+def _read_via_mpg123(path) -> AudioData | None:
+    from spleeterrt_tpu.io import mpg123
+
+    if not mpg123.available():
+        return None
+    samples, rate = mpg123.decode_mp3(path)
+    return AudioData(samples, rate)
+
+
+def _read_via_mp3_native(path) -> AudioData | None:
+    from spleeterrt_tpu.io import mp3
+
+    with open(path, "rb") as f:
+        samples, rate = mp3.decode_mp3(f.read())
+    return AudioData(samples, rate)
+
+
 def load_audio(path: str | os.PathLike) -> AudioData:
-    """Decode WAV natively; FLAC/MP3/etc. via soundfile or ffmpeg if present
-    (the reference vendors dr_flac/dr_mp3; this environment has neither
-    codec need for the test corpus)."""
+    """Decode WAV/FLAC natively; MP3 via libmpg123 or the from-scratch
+    Layer III decoder (io/mp3.py); soundfile/ffmpeg as further fallbacks.
+    Mirrors the reference's loadAudioFile format surface
+    (Executable/main.c:230-276, vendored dr_wav/dr_flac/dr_mp3)."""
     ext = os.path.splitext(str(path))[1].lower()
     if ext == ".wav":
         return read_wav(path)
@@ -295,7 +318,13 @@ def load_audio(path: str | os.PathLike) -> AudioData:
             samples, rate = flac_codec.decode_flac(f.read())
         return AudioData(samples, rate)
     check_decodable(path)  # raises UnsupportedFormatError with guidance
-    for reader in (_read_via_soundfile, _read_via_ffmpeg):
+    readers = (_read_via_soundfile, _read_via_ffmpeg)
+    if ext == ".mp3":
+        readers = (
+            _read_via_mpg123, _read_via_soundfile, _read_via_ffmpeg,
+            _read_via_mp3_native,
+        )
+    for reader in readers:
         out = reader(path)
         if out is not None:
             return out

@@ -20,6 +20,8 @@ All entry points accept any `jax.sharding.Mesh`; tests exercise them on an
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,24 +118,16 @@ def separate_4stem_sharded(
     return jax.jit(fn)(stacked_params, audio)
 
 
-def separate_batch_sharded(
-    stacked_params: Params,
-    tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length
-    cfg: SeparatorConfig,
-    mesh: Mesh,
-) -> jax.Array:
-    """Batched multi-track separation with tracks sharded over "data".
+@functools.lru_cache(maxsize=64)
+def make_batch_fn(cfg: SeparatorConfig, mesh: Mesh, n_stems: int):
+    """Cached jitted (params, tracks) -> stems for repeated batch dispatch.
 
-    The BASELINE "64 stereo tracks concurrently, sharded across chips"
-    config: every track runs the full N-stem graph; XLA batches all tracks'
-    tiles into the fused U-Net. Returns (n_tracks, S, 2, out_len).
-    """
+    A fresh `jax.jit(closure)` per call re-traces every time; serving loops
+    must reuse one compiled callable (benchmarks/bench_batch.py measures the
+    marginal dispatch rate through this)."""
     from spleeterrt_tpu.core.separate import OUT_BAND_4, OUT_BAND_5, separate_nstem
 
-    n_stems = jax.tree.leaves(stacked_params)[0].shape[0]
-    out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}.get(
-        n_stems, (0.25,) * n_stems
-    )
+    out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}.get(n_stems, (0.25,) * n_stems)
 
     def fn(params, tracks):
         tracks = jax.lax.with_sharding_constraint(
@@ -146,7 +140,23 @@ def separate_batch_sharded(
             out, NamedSharding(mesh, P("data"))
         )
 
-    return jax.jit(fn)(stacked_params, tracks)
+    return jax.jit(fn)
+
+
+def separate_batch_sharded(
+    stacked_params: Params,
+    tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Batched multi-track separation with tracks sharded over "data".
+
+    The BASELINE "64 stereo tracks concurrently, sharded across chips"
+    config: every track runs the full N-stem graph; XLA batches all tracks'
+    tiles into the fused U-Net. Returns (n_tracks, S, 2, out_len).
+    """
+    n_stems = jax.tree.leaves(stacked_params)[0].shape[0]
+    return make_batch_fn(cfg, mesh, n_stems)(stacked_params, tracks)
 
 
 def stream_scan_sharded(
