@@ -151,7 +151,10 @@ def main(argv=None) -> int:
           f"{jax.devices()[0].platform} backend")
 
     t0 = time.perf_counter()
-    data = audio_io.load_audio(args.audio)
+    try:
+        data = audio_io.load_audio(args.audio)
+    except _audio_check.UnsupportedFormatError as e:
+        raise SystemExit(str(e))
     samples = data.samples
     if data.sample_rate != 44100:
         samples = resample.resample(samples, data.sample_rate, 44100)

@@ -114,7 +114,10 @@ def main(argv=None) -> int:
                 n = x.size // 2
                 yield np.ascontiguousarray(x[: n * 2].reshape(n, 2).T)
     else:
-        data = audio_io.load_audio(args.input)
+        try:
+            data = audio_io.load_audio(args.input)
+        except _audio_check.UnsupportedFormatError as e:
+            raise SystemExit(str(e))
         samples = data.samples
         if data.sample_rate != 44100:
             samples = resample.resample(samples, data.sample_rate, 44100)

@@ -358,6 +358,7 @@ def _multi_stem_trunk(
     magnitude: jax.Array,  # (B, T, F, 2), shared across stems
     stem_mode: int,
     compute_dtype,
+    pallas_encoder: bool = True,
 ) -> jax.Array:
     """All-stems trunk -> (S, B, T/2, F/2, 32).
 
@@ -365,7 +366,7 @@ def _multi_stem_trunk(
     stems folded into the batch grid axis (kernels/encoder.py); the
     remaining layers stay on XLA convs (C >= 128, already MXU-efficient).
     """
-    if _use_pallas_encoder(stacked_params, magnitude):
+    if pallas_encoder and _use_pallas_encoder(stacked_params, magnitude):
         from spleeterrt_tpu.kernels import encoder
 
         s = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -432,7 +433,10 @@ def _pallas_head(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stem_mode", "compute_dtype", "sigmoid", "pallas_head"),
+    static_argnames=(
+        "stem_mode", "compute_dtype", "sigmoid", "pallas_head",
+        "pallas_encoder",
+    ),
 )
 def unet_forward(
     params: Params,
@@ -441,6 +445,7 @@ def unet_forward(
     compute_dtype=jnp.float32,
     sigmoid: str = "exact",
     pallas_head: bool = True,
+    pallas_encoder: bool = True,
 ) -> jax.Array:
     """Magnitude (batch, T, F, 2) -> soft mask (batch, T, F, 2) in [0, 1].
 
@@ -450,7 +455,7 @@ def unet_forward(
     are promoted to fp32 for the sigmoid. fp32 `compute_dtype` gives the
     oracle-parity path.
     """
-    if _use_pallas_encoder(params, magnitude):
+    if pallas_encoder and _use_pallas_encoder(params, magnitude):
         stacked = jax.tree.map(lambda a: a[None], params)
         x = _multi_stem_trunk(stacked, magnitude, stem_mode, compute_dtype)[0]
     else:
@@ -468,6 +473,7 @@ def multi_stem_forward(
     compute_dtype=jnp.float32,
     sigmoid: str = "exact",
     pallas_head: bool = True,
+    pallas_encoder: bool = True,
 ) -> jax.Array:
     """Run S stacked U-Nets over one magnitude batch -> (S, batch, T, F, 2).
 
@@ -476,10 +482,15 @@ def multi_stem_forward(
     batched/grouped convolutions on the MXU. On accelerators the decoder
     tail runs as one Pallas launch with stems folded into the batch grid
     axis (kernels/mask_head.py).
+
+    Pass `pallas_head=False, pallas_encoder=False` from any path that is
+    differentiated: `pallas_call` has no reverse-mode AD rule, so the
+    training loss must stay on the canonical XLA formulation
+    (core/train.py::separation_loss).
     """
     if pallas_head and _use_pallas_head(stacked_params, magnitude, sigmoid):
         trunk = _multi_stem_trunk(
-            stacked_params, magnitude, stem_mode, compute_dtype
+            stacked_params, magnitude, stem_mode, compute_dtype, pallas_encoder
         )  # (S, B, T2, F2, 32)
         s, b = trunk.shape[:2]
         masks = _pallas_head(
@@ -487,6 +498,7 @@ def multi_stem_forward(
         )
         return masks.reshape(s, b, *masks.shape[1:])
     fwd = lambda p: unet_forward(
-        p, magnitude, stem_mode, compute_dtype, sigmoid, pallas_head
+        p, magnitude, stem_mode, compute_dtype, sigmoid, pallas_head,
+        pallas_encoder,
     )
     return jax.vmap(fwd)(stacked_params)

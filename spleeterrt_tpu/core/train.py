@@ -42,8 +42,13 @@ def separation_loss(
     data/dataset.py::stem_activity) contribute nothing, so a corpus with
     sparse stems doesn't teach the masks to collapse to zero.
     """
+    # Canonical XLA paths only: pallas_call has no reverse-mode AD rule, so
+    # jax.value_and_grad over the fused encoder/head kernels would crash on
+    # accelerators (where the Pallas gates default on). The forward-only
+    # inference paths keep the kernels; the differentiated loss must not.
     masks = multi_stem_forward(
-        stacked_params, mix_mag, stem_mode, compute_dtype, "exact"
+        stacked_params, mix_mag, stem_mode, compute_dtype, "exact",
+        pallas_head=False, pallas_encoder=False,
     )
     est = masks * mix_mag[None].astype(masks.dtype)
     err = jnp.abs(est - target_mags.astype(masks.dtype))
@@ -138,8 +143,9 @@ def evaluate_si_sdr(
     )
     ob = tuple(out_band) if out_band is not None else (0.0,) * len(names)
     sums = {s: 0.0 for s in names}
+    sr = getattr(dataset, "sample_rate", 44100)
     for tr in dataset.tracks:
-        n = min(int(seconds * 44100), tr.n_frames)
+        n = min(int(seconds * sr), tr.n_frames)
         start = (tr.n_frames - n) // 2
         mix, stems = tr.read_crop(start, n)
         preshift, _ = transform.offline_pad_sizes(n, cfg.transform)

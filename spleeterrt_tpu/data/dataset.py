@@ -192,6 +192,7 @@ class StemDataset:
         sample_rate: int = 44100, cache_tracks: int = 2,
     ):
         self.stem_names = stem_names
+        self.sample_rate = sample_rate
         self._cache = _DecodedCache(max(1, cache_tracks) * len(stem_names) + 1)
         self.tracks: list[TrackHandle] = []
         for name in sorted(os.listdir(root)):

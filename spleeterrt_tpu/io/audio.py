@@ -42,8 +42,7 @@ def check_decodable(path: str | os.PathLike) -> None:
     WAV and FLAC decode natively (from-scratch codecs in this package). MP3
     -- which the reference decodes via its vendored dr_mp3.h
     (Executable/main.c:241-245) -- decodes through the system's libmpg123
-    (io/mpg123.py) or the from-scratch Layer III decoder (io/mp3.py), with
-    soundfile/ffmpeg as further fallbacks.
+    (io/mpg123.py), with soundfile/ffmpeg as further fallbacks.
     """
     ext = os.path.splitext(str(path))[1].lower()
     if ext in (".wav", ".flac"):
@@ -61,8 +60,6 @@ def check_decodable(path: str | os.PathLike) -> None:
         pass
     if shutil.which("ffmpeg") and shutil.which("ffprobe"):
         return
-    if ext == ".mp3":
-        return  # io/mp3.py from-scratch decoder is always importable
     raise UnsupportedFormatError(
         f"cannot decode {path}: {ext or 'unknown'} input requires the "
         f"'soundfile' package or an 'ffmpeg' binary, and neither is "
@@ -150,11 +147,21 @@ class WavReader:
                     f.seek(csize + csize % 2, 1)
             if fmt is None or self._data_off is None:
                 raise ValueError(f"missing fmt/data chunk: {self.path}")
+        if len(fmt) < 16:
+            raise ValueError(f"short fmt chunk: {self.path}")
         tag, channels, rate, _bps, _align, bits = struct.unpack(
             "<HHIIHH", fmt[:16]
         )
         if tag == WAVE_FORMAT_EXTENSIBLE:
+            if len(fmt) < 26:
+                raise ValueError(f"short EXTENSIBLE fmt chunk: {self.path}")
             tag = struct.unpack("<H", fmt[24:26])[0]
+        # Reject compressed/odd formats up front (ADPCM etc. would make
+        # frame_bytes 0 and crash); callers fall back to a full decode.
+        if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+            raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
+        if bits not in (8, 16, 24, 32, 64) or channels < 1:
+            raise ValueError(f"unsupported WAV layout ({bits} bit): {self.path}")
         self.tag, self.channels, self.sample_rate, self.bits = (
             tag, channels, rate, bits,
         )
@@ -295,19 +302,16 @@ def _read_via_mpg123(path) -> AudioData | None:
     return AudioData(samples, rate)
 
 
-def _read_via_mp3_native(path) -> AudioData | None:
-    from spleeterrt_tpu.io import mp3
-
-    with open(path, "rb") as f:
-        samples, rate = mp3.decode_mp3(f.read())
-    return AudioData(samples, rate)
-
-
 def load_audio(path: str | os.PathLike) -> AudioData:
-    """Decode WAV/FLAC natively; MP3 via libmpg123 or the from-scratch
-    Layer III decoder (io/mp3.py); soundfile/ffmpeg as further fallbacks.
-    Mirrors the reference's loadAudioFile format surface
-    (Executable/main.c:230-276, vendored dr_wav/dr_flac/dr_mp3)."""
+    """Decode WAV/FLAC natively; MP3 via libmpg123, with soundfile/ffmpeg
+    as further fallbacks. Mirrors the reference's loadAudioFile format
+    surface (Executable/main.c:230-276, vendored dr_wav/dr_flac/dr_mp3).
+
+    A reader that errors (corrupt stream, library quirk) falls through to
+    the next one; when every reader has failed or declined, the error is
+    an :class:`UnsupportedFormatError` carrying actionable guidance, like
+    the reference's fail-with-message path (Executable/main.c:246-250).
+    """
     ext = os.path.splitext(str(path))[1].lower()
     if ext == ".wav":
         return read_wav(path)
@@ -320,12 +324,19 @@ def load_audio(path: str | os.PathLike) -> AudioData:
     check_decodable(path)  # raises UnsupportedFormatError with guidance
     readers = (_read_via_soundfile, _read_via_ffmpeg)
     if ext == ".mp3":
-        readers = (
-            _read_via_mpg123, _read_via_soundfile, _read_via_ffmpeg,
-            _read_via_mp3_native,
-        )
+        readers = (_read_via_mpg123, _read_via_soundfile, _read_via_ffmpeg)
+    errors = []
     for reader in readers:
-        out = reader(path)
+        try:
+            out = reader(path)
+        except Exception as e:  # corrupt input: try the next decoder
+            errors.append(f"{reader.__name__.removeprefix('_read_via_')}: {e}")
+            continue
         if out is not None:
             return out
-    raise ValueError(f"decoding {path} failed (corrupt file?)")
+    detail = ("; ".join(errors)) or "no decoder accepted the file"
+    raise UnsupportedFormatError(
+        f"decoding {path} failed ({detail}). The file may be corrupt; "
+        f"re-encode it, or convert to WAV or FLAC first (e.g. "
+        f"`ffmpeg -i {path} track.wav`), or `pip install soundfile`."
+    )

@@ -5,9 +5,8 @@ dr_mp3.h (4.7k LoC) and decodes inside loadAudioFile
 (Executable/main.c:241-245). The TPU framework takes the same architectural
 shortcut -- delegate the bitstream codec to a battle-tested third-party
 decoder -- but links the system library at runtime instead of vendoring,
-keeping the repo free of 23k-LoC codec dumps. A from-scratch NumPy Layer
-III decoder (io/mp3.py) covers environments without the library and is
-validated against this one as its oracle.
+keeping the repo free of 23k-LoC codec dumps. soundfile/ffmpeg act as
+fallbacks on machines without the library (io/audio.py::load_audio).
 
 Only the small, stable subset of the mpg123 API needed for whole-file
 decode is bound; output is forced to the library's default signed-16
@@ -80,9 +79,9 @@ def _lib():
 def decode_bytes(data: bytes) -> tuple[np.ndarray, int, int]:
     """Feed-mode decode of a raw MP3 byte stream (no file, no id3).
 
-    Returns ((n, channels) int16 PCM, sample_rate, channels). Used by the
-    MP3 conformance tests (tests/oracle/) as the ground-truth decode of
-    crafted frames."""
+    Returns ((n, channels) int16 PCM, sample_rate, channels). Exists for
+    in-memory decode paths (e.g. crafted-frame experiments); file decode
+    goes through :func:`decode_mp3`."""
     lib = _lib()
     if lib is None:
         raise RuntimeError("libmpg123 not available")

@@ -132,21 +132,14 @@ def test_cli_quantized_model_path(tmp_path, rng):
 
 
 def test_cli_mp3_fails_fast_with_guidance(tmp_path):
-    """Without soundfile/ffmpeg, .mp3 input must fail before any device or
-    weight work, with an actionable message (VERDICT: the reference decodes
-    MP3 via dr_mp3.h, Executable/main.c:241-245)."""
-    import shutil
-
+    """A corrupt .mp3 must exit with an actionable message, never a raw
+    decoder traceback, regardless of which MP3 readers are installed
+    (VERDICT: the reference decodes MP3 via dr_mp3.h and prints guidance on
+    failure, Executable/main.c:241-250). Every available reader (mpg123,
+    soundfile, ffmpeg) rejects this garbage stream; load_audio must fall
+    through all of them and end with UnsupportedFormatError-grade guidance."""
     import pytest
 
-    try:
-        import soundfile  # noqa: F401
-
-        pytest.skip("soundfile present: MP3 is decodable here")
-    except ImportError:
-        pass
-    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
-        pytest.skip("ffmpeg present: MP3 is decodable here")
     path = tmp_path / "song.mp3"
     path.write_bytes(b"\xff\xfb\x90\x00" + b"\0" * 100)
     with pytest.raises(SystemExit) as ei:

@@ -121,6 +121,44 @@ def test_silent_stem_masking_zeroes_gradient(tmp_path, rng):
     np.testing.assert_allclose(float(loss), expect, rtol=1e-6)
 
 
+def test_separation_loss_grad_with_pallas_gates_forced(rng, monkeypatch):
+    """Training must differentiate even where the Pallas gates default ON.
+
+    `pallas_call` has no reverse-mode AD rule, so separation_loss forces the
+    canonical XLA formulation (pallas_head/pallas_encoder False). Forcing
+    both gates on -- the accelerator default that CPU tests otherwise never
+    see -- must still let value_and_grad trace and yield finite gradients."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    stacked = weights.stack_params(
+        [model.init_params(jax.random.PRNGKey(i)) for i in range(2)]
+    )
+    mix = jnp.asarray(
+        np.abs(rng.standard_normal((1, 64, 512, 2))).astype(np.float32)
+    )
+    tgt = jnp.asarray(
+        np.abs(rng.standard_normal((2, 1, 64, 512, 2))).astype(np.float32)
+    )
+    model.FORCE_PALLAS_ENCODER = True
+    model.FORCE_PALLAS_HEAD = True
+    try:
+        loss, grads = jax.value_and_grad(train.separation_loss)(
+            stacked, mix, tgt, compute_dtype=jnp.float32
+        )
+    finally:
+        model.FORCE_PALLAS_ENCODER = None
+        model.FORCE_PALLAS_HEAD = None
+    assert np.isfinite(float(loss))
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(grads)
+    )
+
+
 def test_deploy_params_folds_training_scale(rng):
     """net(mag/fft) == deploy_params(net)(mag): trained nets drop into the
     raw-magnitude inference graph."""
