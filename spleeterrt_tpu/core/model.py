@@ -170,17 +170,29 @@ def _use_fast_layouts() -> bool:
     return jax.default_backend() != "cpu"
 
 
+# Above this many (stem * tile) batch rows the XLA head formulation wins:
+# the Pallas head's host-side quad pack/unpack transposes scale with batch
+# while XLA amortizes its layout changes, measured on v5e at the 300 s
+# offline workload (S*B = 204: XLA head 75.1 ms vs Pallas 102.8 ms for the
+# full U-Net; at the streaming batch S*B = 4 the Pallas head wins --
+# docs/PERF.md round-3 table).
+PALLAS_HEAD_MAX_BATCH = 64
+
+
 def _use_pallas_head(params: Params, magnitude: jax.Array, sigmoid: str) -> bool:
     """Fused up6+up7+sigmoid kernel: accelerator fast path only.
 
     The kernel hard-codes the standard architecture's decoder tail (32->1ch
     up6, 1->2ch 4x4 up7) and needs quad-packable frequency columns and
     TT-divisible time rows at half resolution. `params` may carry a leading
-    stem axis (only the trailing shape is checked).
+    stem axis (only the trailing shape is checked). Large batches take the
+    XLA head instead (see PALLAS_HEAD_MAX_BATCH).
     """
     from spleeterrt_tpu.kernels import mask_head
 
     t, f = magnitude.shape[-3], magnitude.shape[-2]
+    n_stems = jax.tree.leaves(params)[0].shape[0] if _is_stacked(params) else 1
+    batch = magnitude.shape[0] if magnitude.ndim == 4 else 1
     ok = (
         sigmoid == "exact"
         and params["up6"]["w"].shape[-4:] == (5, 5, 32, 1)
@@ -190,9 +202,15 @@ def _use_pallas_head(params: Params, magnitude: jax.Array, sigmoid: str) -> bool
     )
     if FORCE_PALLAS_HEAD is not None:
         return FORCE_PALLAS_HEAD and ok
+    ok = ok and n_stems * batch <= PALLAS_HEAD_MAX_BATCH
     # Deliberately NOT _use_fast_layouts(): forcing the XLA layout rewrites
     # on CPU (tests) must not drag in a compiled-mode Pallas kernel.
     return jax.default_backend() != "cpu" and ok
+
+
+def _is_stacked(params: Params) -> bool:
+    """True if `params` carries a leading stem axis (5-D conv kernels)."""
+    return params["up6"]["w"].ndim == 5
 
 
 def _pack_tconv_kernel(w: jax.Array) -> jax.Array:
@@ -488,15 +506,26 @@ def multi_stem_forward(
     training loss must stay on the canonical XLA formulation
     (core/train.py::separation_loss).
     """
-    if pallas_head and _use_pallas_head(stacked_params, magnitude, sigmoid):
+    use_head = pallas_head and _use_pallas_head(
+        stacked_params, magnitude, sigmoid
+    )
+    use_enc = pallas_encoder and _use_pallas_encoder(stacked_params, magnitude)
+    if use_head or use_enc:
+        # Stems folded into the Pallas batch grid: the fused kernels are not
+        # vmappable, so the trunk handles the stem axis itself.
         trunk = _multi_stem_trunk(
             stacked_params, magnitude, stem_mode, compute_dtype, pallas_encoder
         )  # (S, B, T2, F2, 32)
         s, b = trunk.shape[:2]
-        masks = _pallas_head(
-            stacked_params, trunk.reshape(s * b, *trunk.shape[2:]), stem_mode, s
-        )
-        return masks.reshape(s, b, *masks.shape[1:])
+        if use_head:
+            masks = _pallas_head(
+                stacked_params, trunk.reshape(s * b, *trunk.shape[2:]),
+                stem_mode, s,
+            )
+            return masks.reshape(s, b, *masks.shape[1:])
+        return jax.vmap(
+            lambda p, x: _canonical_head(p, x, stem_mode, compute_dtype, sigmoid)
+        )(stacked_params, trunk)
     fwd = lambda p: unet_forward(
         p, magnitude, stem_mode, compute_dtype, sigmoid, pallas_head,
         pallas_encoder,

@@ -68,22 +68,26 @@ def apply_mask(
 
 def compute_masks(
     params: Params, spec: jax.Array, cfg: SeparatorConfig, stem_mode: int,
+    pallas: bool = True,
 ) -> jax.Array:
     """Single-net masks for every frame: (2, n_frames, bin_limit)."""
     tiles = spec_to_tiles(spec, cfg)
     masks = unet_forward(
-        params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
+        params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid,
+        pallas_head=pallas, pallas_encoder=pallas,
     )
     return tiles_to_frames(masks, spec.shape[-2])
 
 
 def compute_masks_multi(
     stacked_params: Params, spec: jax.Array, cfg: SeparatorConfig, stem_mode: int,
+    pallas: bool = True,
 ) -> jax.Array:
     """S stacked nets -> (S, 2, n_frames, bin_limit) in one fused pass."""
     tiles = spec_to_tiles(spec, cfg)
     masks = multi_stem_forward(
-        stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
+        stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid,
+        pallas_head=pallas, pallas_encoder=pallas,
     )
     return jax.vmap(tiles_to_frames, in_axes=(0, None))(masks, spec.shape[-2])
 
@@ -96,24 +100,58 @@ def compute_masks_multi(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
 def separate_2stem(
-    params: Params, audio: jax.Array, cfg: SeparatorConfig
+    params: Params, audio: jax.Array, cfg: SeparatorConfig,
+    pallas: bool = True,
 ) -> jax.Array:
     """vocals = istft(mask * spec); accompaniment = input - vocals in the time
     domain (Executable/main.c:779-808). Returns (2, 2ch, out_len)."""
     data_size = audio.shape[-1]
-    spec = transform.stft(audio, cfg.transform, data_size)
-    masks = compute_masks(params, spec, cfg, STEM_MODE_2)
-    vocal = transform.istft(apply_mask(spec, masks, cfg), cfg.transform)
+    if (
+        pallas
+        and cfg.transform.fft_size == 4096
+        and transform._use_fused_stft()
+    ):
+        from spleeterrt_tpu.kernels import stft_fused
+
+        tcfg = cfg.transform
+        n_out = transform.num_output_frames(data_size, tcfg)
+        n_comp = transform.num_computed_frames(data_size, tcfg)
+        nt = num_tiles(n_out, cfg.time_step)
+        n_req = nt * cfg.time_step
+        s_r, s_i = stft_fused.stft4096_packed(
+            audio, transform.analysis_window(tcfg.fft_size), n_comp, n_req
+        )
+        mag = stft_fused.packed_magnitude(s_r, s_i, cfg.bin_limit)
+        tiles = mag.reshape(2, nt, cfg.time_step, cfg.bin_limit).transpose(
+            1, 2, 3, 0
+        )
+        masks = unet_forward(
+            params, tiles, STEM_MODE_2, cfg.compute_dtype, cfg.sigmoid
+        )
+        masks_cf = masks.transpose(3, 0, 1, 2).reshape(
+            1, 2, n_req, cfg.bin_limit
+        )
+        vocal = stft_fused.masked_istft4096_packed(
+            s_r, s_i, masks_cf, jnp.asarray([cfg.unaffected_weight]),
+            cfg.bin_limit, transform.synthesis_window(tcfg), n_out,
+        )[0]
+    else:
+        spec = transform.stft(audio, cfg.transform, data_size)
+        masks = compute_masks(params, spec, cfg, STEM_MODE_2, pallas)
+        vocal = transform.istft(
+            apply_mask(spec, masks, cfg), cfg.transform, pallas=pallas
+        )
     pad = vocal.shape[-1] - data_size
     residual = jnp.pad(audio, ((0, 0), (0, pad))) - vocal
     return jnp.stack([vocal, residual])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
 def separate_3stem(
-    params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig
+    params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig,
+    pallas: bool = True,
 ) -> jax.Array:
     """Two-pass graph (Executable/main.c:845-970): pass 1 (4-stem-family net,
     ELU) masks drums; the FREQUENCY-domain residual feeds pass 2 (2-stem net)
@@ -121,13 +159,18 @@ def separate_3stem(
     Returns (3, 2ch, out_len) ordered (drums, vocals, accompaniment)."""
     data_size = audio.shape[-1]
     spec = transform.stft(audio, cfg.transform, data_size)
-    drum_masks = compute_masks(params4, spec, cfg, STEM_MODE_4)
+    drum_masks = compute_masks(params4, spec, cfg, STEM_MODE_4, pallas)
     drum_spec = apply_mask(spec, drum_masks, cfg)
     residual_spec = spec - drum_spec
-    drums = transform.istft(drum_spec, cfg.transform)
-    vocal_masks = compute_masks(params2, residual_spec, cfg, STEM_MODE_2)
-    vocals = transform.istft(apply_mask(residual_spec, vocal_masks, cfg), cfg.transform)
-    accompaniment = transform.istft(residual_spec, cfg.transform) - vocals
+    drums = transform.istft(drum_spec, cfg.transform, pallas=pallas)
+    vocal_masks = compute_masks(params2, residual_spec, cfg, STEM_MODE_2, pallas)
+    vocals = transform.istft(
+        apply_mask(residual_spec, vocal_masks, cfg), cfg.transform,
+        pallas=pallas,
+    )
+    accompaniment = (
+        transform.istft(residual_spec, cfg.transform, pallas=pallas) - vocals
+    )
     return jnp.stack([drums, vocals, accompaniment])
 
 
@@ -137,23 +180,85 @@ OUT_BAND_4 = (0.25, 0.0, 0.25, 0.25)  # drums, bass, accompaniment, vocals
 OUT_BAND_5 = (0.25, 0.25, 0.0, 0.25, 0.25)  # vocals, drums, bass, piano, other
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_band"))
-def separate_nstem(
+def _separate_nstem_fused(
     stacked_params: Params,
     audio: jax.Array,
     cfg: SeparatorConfig,
     out_band: tuple[float, ...],
 ) -> jax.Array:
+    """Fully fused accelerator graph (kernels/stft_fused.py): one Pallas
+    STFT (audio read once, spectrum written packed), magnitude tiles read
+    straight off the packed in-band rows, and one Pallas masked-iSTFT that
+    emits overlap-added AUDIO -- the per-stem masked spectrogram and frame
+    tensors never exist in HBM. Output is bit-compatible with the canonical
+    formulation below (tests/test_stft_fused.py)."""
+    from spleeterrt_tpu.kernels import stft_fused
+
+    tcfg = cfg.transform
+    data_size = audio.shape[-1]
+    n_out = transform.num_output_frames(data_size, tcfg)
+    n_comp = transform.num_computed_frames(data_size, tcfg)
+    nt = num_tiles(n_out, cfg.time_step)
+    n_req = nt * cfg.time_step  # tile-aligned frame rows (zeros past n_comp)
+
+    s_r, s_i = stft_fused.stft4096_packed(
+        audio, transform.analysis_window(tcfg.fft_size), n_comp, n_req
+    )
+    mag = stft_fused.packed_magnitude(s_r, s_i, cfg.bin_limit)
+    tiles = mag.reshape(2, nt, cfg.time_step, cfg.bin_limit).transpose(
+        1, 2, 3, 0
+    )
+    masks = multi_stem_forward(
+        stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+    )  # (S, nt, T, F, 2)
+    s = masks.shape[0]
+    masks_cf = masks.transpose(0, 4, 1, 2, 3).reshape(
+        s, 2, n_req, cfg.bin_limit
+    )
+    return stft_fused.masked_istft4096_packed(
+        s_r, s_i, masks_cf, jnp.asarray(out_band), cfg.bin_limit,
+        transform.synthesis_window(tcfg), n_out,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_band", "pallas"))
+def separate_nstem(
+    stacked_params: Params,
+    audio: jax.Array,
+    cfg: SeparatorConfig,
+    out_band: tuple[float, ...],
+    pallas: bool = True,
+) -> jax.Array:
     """S independent nets over the same input, one mask per stem -- the VST
     engine's graph (VST/Source/Spleeter4Stems.c:114-147) run offline,
     generalized to any stem count (e.g. upstream Spleeter's 5stems family).
-    Returns (S, 2ch, out_len)."""
+    Returns (S, 2ch, out_len).
+
+    `pallas=False` forces the pure-XLA formulation end to end -- required
+    when the caller auto-partitions this graph with GSPMD sharding
+    constraints (XLA cannot shard custom calls); the shard_map entry points
+    in parallel/mesh.py re-enable the kernels on per-device shards.
+    """
     data_size = audio.shape[-1]
+    if (
+        pallas
+        and cfg.transform.fft_size == 4096
+        and transform._use_fused_stft()
+    ):
+        return _separate_nstem_fused(stacked_params, audio, cfg, out_band)
+
     spec = transform.stft(audio, cfg.transform, data_size)
-    masks = compute_masks_multi(stacked_params, spec, cfg, STEM_MODE_4)
+    masks = compute_masks_multi(
+        stacked_params, spec, cfg, STEM_MODE_4, pallas
+    )
     uw = jnp.asarray(out_band)
 
-    if cfg.transform.fft_size == 4096 and transform._use_matmul_fft():
+    if (
+        pallas
+        and cfg.transform.fft_size == 4096
+        and transform._use_matmul_fft()
+        and jax.default_backend() != "cpu"
+    ):
         # Fused Pallas path: mask multiply + inverse FFT + synthesis window
         # in VMEM; the per-stem masked complex spectrogram never hits HBM.
         from spleeterrt_tpu.kernels import pallas_fft
@@ -171,7 +276,8 @@ def separate_nstem(
         in_band = spec[..., : cfg.bin_limit] * mask.astype(spec.real.dtype)
         oob = spec[..., cfg.bin_limit :] * w.astype(spec.real.dtype)
         return transform.istft(
-            jnp.concatenate([in_band, oob], axis=-1), cfg.transform
+            jnp.concatenate([in_band, oob], axis=-1), cfg.transform,
+            pallas=pallas,
         )
 
     return jax.vmap(one)(masks, uw)

@@ -51,6 +51,21 @@ def _use_matmul_fft() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_fused_stft() -> bool:
+    """Fused Pallas STFT / masked-iSTFT kernels (kernels/stft_fused.py) on
+    accelerators; canonical formulation on CPU. Overridable for testing via
+    SPLEETERRT_FUSED_STFT=0/1. GSPMD-sharded callers must pass their
+    explicit `pallas=False` opt-outs instead (XLA cannot auto-partition
+    custom calls); the shard_map paths re-enable the kernels per-device.
+    """
+    import os
+
+    env = os.environ.get("SPLEETERRT_FUSED_STFT")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() != "cpu"
+
+
 def rfft(frames: jax.Array, n: int) -> jax.Array:
     """Real FFT along the last axis, MXU-dispatched for n == 4096."""
     if n == fastfft.N and _use_matmul_fft():
@@ -58,18 +73,30 @@ def rfft(frames: jax.Array, n: int) -> jax.Array:
     return jnp.fft.rfft(frames, axis=-1)
 
 
-def irfft(spec: jax.Array, n: int, window_key: str | None = None) -> jax.Array:
+def irfft(
+    spec: jax.Array, n: int, window_key: str | None = None,
+    pallas: bool = True,
+) -> jax.Array:
     """Inverse real FFT along the last axis.
 
     n == 4096 on accelerators uses the fused Pallas kernel
     (kernels/pallas_fft.py, ~1.6x XLA's FFT, optional fused window);
     otherwise jnp.fft. `window_key` must be registered with
     pallas_fft.register_window and is applied post-transform.
+    `pallas=False` forces the pure-XLA matmul formulation (required under
+    GSPMD auto-partitioning, which cannot shard custom calls).
     """
     if n == fastfft.N and _use_matmul_fft():
-        from spleeterrt_tpu.kernels import pallas_fft
+        if pallas and jax.default_backend() != "cpu":
+            from spleeterrt_tpu.kernels import pallas_fft
 
-        return pallas_fft.irfft4096_pallas(spec, window_key)
+            return pallas_fft.irfft4096_pallas(spec, window_key)
+        out = fastfft.irfft4096(spec)
+        if window_key is not None:
+            from spleeterrt_tpu.kernels import pallas_fft
+
+            out = out * jnp.asarray(pallas_fft._WINDOWS[window_key])
+        return out
     out = jnp.fft.irfft(spec, n=n, axis=-1)
     if window_key is not None:
         from spleeterrt_tpu.kernels import pallas_fft
@@ -182,14 +209,15 @@ def overlap_add(frames: jax.Array, cfg: TransformConfig) -> jax.Array:
     return out.reshape(*frames.shape[:-2], (n_frames + lap - 1) * hop)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def istft(spec: jax.Array, cfg: TransformConfig) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
+def istft(spec: jax.Array, cfg: TransformConfig, pallas: bool = True) -> jax.Array:
     """Inverse of :func:`stft` (with masks applied in between).
 
     Returns (..., n_frames*hop + fft_size - hop) audio; a mask-of-ones round
     trip reproduces the input at unity gain (Executable/stftFix.c:496-579).
+    `pallas=False` keeps the whole graph auto-partitionable (see irfft).
     """
-    frames = irfft(spec, cfg.fft_size, synthesis_window_key(cfg))
+    frames = irfft(spec, cfg.fft_size, synthesis_window_key(cfg), pallas)
     return overlap_add(frames, cfg)
 
 
