@@ -97,7 +97,50 @@ def main():
 
         return (sync_time(run, *xs) - disp) / iters * 1e3
 
-    # --- transform stages ---------------------------------------------------
+    # --- fused transform stages (kernels/stft_fused.py) ---------------------
+    from spleeterrt_tpu.kernels import stft_fused
+
+    n_comp = transform.num_computed_frames(data_size, tcfg)
+    n_req = nt * cfg.time_step
+    awin = transform.analysis_window(tcfg.fft_size)
+    swin = transform.synthesis_window(tcfg)
+
+    def fstft_body(p):
+        s_r, s_i = stft_fused.stft4096_packed(p, awin, n_comp, n_req)
+        return (p + 1e-30 * s_r[0, 0, 0, 0],)
+
+    results["stft_fused_ms"] = timed_loop(fstft_body, padded)
+
+    s_r, s_i = jax.block_until_ready(
+        stft_fused.stft4096_packed(padded, awin, n_comp, n_req)
+    )
+    masks_cf = jnp.ones((4, 2, n_req, cfg.bin_limit), jnp.float32)
+
+    def ftiles_body(sr, si):
+        mag = stft_fused.packed_magnitude(sr, si, cfg.bin_limit)
+        t = mag.reshape(2, nt, cfg.time_step, cfg.bin_limit).transpose(1, 2, 3, 0)
+        return (sr + 1e-30 * t[0, 0, 0, 0], si)
+
+    results["packed_mag_tiles_ms"] = timed_loop(ftiles_body, s_r, s_i)
+
+    def fistft_body(sr, si, m):
+        out = stft_fused.masked_istft4096_packed(
+            sr, si, m, uw, cfg.bin_limit, swin, n_frames
+        )
+        return (sr + 1e-30 * out[0, 0, 0], si, m)
+
+    results["masked_istft_fused_ms"] = timed_loop(fistft_body, s_r, s_i, masks_cf)
+
+    # Mask relayout NHWC tiles -> (S, 2, frames, F) (feeds the iSTFT).
+    masks_tiles = jnp.ones((4, nt, cfg.time_step, cfg.bin_limit, 2), jnp.float32)
+
+    def mt_body(m):
+        cf = m.transpose(0, 4, 1, 2, 3).reshape(4, 2, n_req, cfg.bin_limit)
+        return (m + 1e-30 * cf[0, 0, 0, 0],)
+
+    results["mask_relayout_ms"] = timed_loop(mt_body, masks_tiles)
+
+    # --- canonical transform stages ------------------------------------------
     def stft_body(p):
         s = transform.stft(p, tcfg, data_size)
         return (p + 1e-30 * jnp.abs(s[0, 0, 0]),)

@@ -526,8 +526,11 @@ def multi_stem_forward(
         return jax.vmap(
             lambda p, x: _canonical_head(p, x, stem_mode, compute_dtype, sigmoid)
         )(stacked_params, trunk)
+    # Both gates are off at the stacked level; force them off inside the
+    # vmap too (the per-stem trace would re-evaluate the batch-size gate
+    # without the stem axis and try to vmap a Pallas call, which the
+    # manual-DMA kernels do not support).
     fwd = lambda p: unet_forward(
-        p, magnitude, stem_mode, compute_dtype, sigmoid, pallas_head,
-        pallas_encoder,
+        p, magnitude, stem_mode, compute_dtype, sigmoid, False, False,
     )
     return jax.vmap(fwd)(stacked_params)

@@ -283,6 +283,68 @@ def separate_nstem(
     return jax.vmap(one)(masks, uw)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "out_band", "pallas"))
+def separate_nstem_batch(
+    stacked_params: Params,
+    tracks: jax.Array,  # (B, 2, n) equal-length pre-padded tracks
+    cfg: SeparatorConfig,
+    out_band: tuple[float, ...],
+    pallas: bool = True,
+) -> jax.Array:
+    """Batched multi-track N-stem graph -> (B, S, 2, out_len).
+
+    The fused path folds the track batch into the Pallas kernels' row axis
+    (one launch covers every track) instead of vmapping `separate_nstem` --
+    the manual-DMA kernels are not vmappable, and a single big launch is
+    also the efficient serving shape (benchmarks/bench_batch.py).
+    """
+    b, rows, data_size = tracks.shape
+    if not (
+        pallas
+        and cfg.transform.fft_size == 4096
+        and transform._use_fused_stft()
+    ):
+        return jax.vmap(
+            lambda a: separate_nstem(stacked_params, a, cfg, out_band, pallas)
+        )(tracks)
+
+    from spleeterrt_tpu.kernels import stft_fused
+
+    tcfg = cfg.transform
+    n_out = transform.num_output_frames(data_size, tcfg)
+    n_comp = transform.num_computed_frames(data_size, tcfg)
+    nt = num_tiles(n_out, cfg.time_step)
+    n_req = nt * cfg.time_step
+    f = cfg.bin_limit
+    t = cfg.time_step
+
+    s_r, s_i = stft_fused.stft4096_packed(
+        tracks.reshape(b * rows, data_size),
+        transform.analysis_window(tcfg.fft_size), n_comp, n_req,
+    )
+    mag = stft_fused.packed_magnitude(s_r, s_i, f)  # (B*2, n_req, F)
+    tiles = (
+        mag.reshape(b, rows, nt, t, f)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(b * nt, t, f, rows)
+    )
+    masks = multi_stem_forward(
+        stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+    )  # (S, B*nt, T, F, 2)
+    s = masks.shape[0]
+    masks_cf = (
+        masks.reshape(s, b, nt, t, f, rows)
+        .transpose(0, 1, 5, 2, 3, 4)
+        .reshape(s, b * rows, n_req, f)
+    )
+    audio_out = stft_fused.masked_istft4096_packed(
+        s_r, s_i, masks_cf, jnp.asarray(out_band), f,
+        transform.synthesis_window(tcfg), n_out,
+    )  # (S, B*2, out_len)
+    out_len = audio_out.shape[-1]
+    return audio_out.reshape(s, b, rows, out_len).transpose(1, 0, 2, 3)
+
+
 def separate_4stem(
     stacked_params: Params, audio: jax.Array, cfg: SeparatorConfig
 ) -> jax.Array:

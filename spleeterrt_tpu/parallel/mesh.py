@@ -72,22 +72,44 @@ def compute_masks_sharded(
 ) -> jax.Array:
     """Multi-stem masks with tiles sharded over "data" and stems over "stem".
 
-    Uses sharding constraints under jit: XLA partitions the batched convs
-    across the mesh and inserts the (empty, tiles are independent) halo
-    logic itself. Returns (S, 2, n_frames, bin_limit), replicated.
+    When the stem count divides the "stem" axis, the forward runs under
+    `shard_map` (manual partitioning): each device gets its stem group's
+    params and its tile shard, and the fused Pallas kernels
+    (kernels/encoder.py, kernels/mask_head.py) run PER DEVICE on local
+    shards -- XLA's GSPMD partitioner cannot shard custom calls, so this is
+    the only composition that keeps the kernels on a pod. Otherwise the
+    GSPMD formulation runs with the kernels force-disabled
+    (pallas=False -> canonical XLA convs, which GSPMD partitions freely).
+    Returns (S, 2, n_frames, bin_limit), replicated.
     """
     n_data = mesh.shape["data"]
+    n_stem = mesh.shape["stem"]
+    n_stems = jax.tree.leaves(stacked_params)[0].shape[0]
     tiles = spec_to_tiles(spec, cfg)
     tiles, n_tiles = _pad_tiles(tiles, n_data)
-    tiles = jax.lax.with_sharding_constraint(
-        tiles, NamedSharding(mesh, P("data"))
-    )
-    masks = multi_stem_forward(
-        stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
-    )
-    masks = jax.lax.with_sharding_constraint(
-        masks, NamedSharding(mesh, P("stem", "data"))
-    )
+
+    if n_stems % n_stem == 0:
+        fwd = jax.shard_map(
+            lambda p, t: multi_stem_forward(
+                p, t, stem_mode, cfg.compute_dtype, cfg.sigmoid
+            ),
+            mesh=mesh,
+            in_specs=(P("stem"), P("data")),
+            out_specs=P("stem", "data"),
+            check_vma=False,  # pallas_call declares no mesh-varying info
+        )
+        masks = jax.jit(fwd)(stacked_params, tiles)
+    else:
+        tiles = jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(mesh, P("data"))
+        )
+        masks = multi_stem_forward(
+            stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid,
+            pallas_head=False, pallas_encoder=False,
+        )
+        masks = jax.lax.with_sharding_constraint(
+            masks, NamedSharding(mesh, P("stem", "data"))
+        )
     masks = masks[:, :n_tiles]
     return jax.vmap(tiles_to_frames, in_axes=(0, None))(masks, spec.shape[-2])
 
@@ -109,8 +131,11 @@ def separate_4stem_sharded(
         def one(mask, uw):
             in_band = spec[..., : cfg.bin_limit] * mask.astype(spec.real.dtype)
             oob = spec[..., cfg.bin_limit :] * uw.astype(spec.real.dtype)
+            # pallas=False: this istft runs replicated inside a
+            # GSPMD-partitioned jit, where custom calls are off-limits.
             return transform.istft(
-                jnp.concatenate([in_band, oob], axis=-1), cfg.transform
+                jnp.concatenate([in_band, oob], axis=-1), cfg.transform,
+                pallas=False,
             )
 
         return jax.vmap(one)(masks, out_band)
@@ -122,25 +147,32 @@ def separate_4stem_sharded(
 def make_batch_fn(cfg: SeparatorConfig, mesh: Mesh, n_stems: int):
     """Cached jitted (params, tracks) -> stems for repeated batch dispatch.
 
+    The track batch is `shard_map`ped over the "data" mesh axis (params
+    replicated): each device runs the FULL fused pipeline -- Pallas STFT,
+    U-Net kernels, masked iSTFT (kernels/stft_fused.py) -- on its local
+    tracks, with zero cross-device communication (tracks are independent).
+    GSPMD constraints would instead force the canonical formulation, since
+    XLA cannot auto-partition custom calls.
+
     A fresh `jax.jit(closure)` per call re-traces every time; serving loops
     must reuse one compiled callable (benchmarks/bench_batch.py measures the
     marginal dispatch rate through this)."""
-    from spleeterrt_tpu.core.separate import OUT_BAND_4, OUT_BAND_5, separate_nstem
+    from spleeterrt_tpu.core.separate import (
+        OUT_BAND_4, OUT_BAND_5, separate_nstem_batch,
+    )
 
     out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}.get(n_stems, (0.25,) * n_stems)
+    n_devices = mesh.devices.size
+    flat = Mesh(mesh.devices.reshape(-1), ("data",))
 
-    def fn(params, tracks):
-        tracks = jax.lax.with_sharding_constraint(
-            tracks, NamedSharding(mesh, P("data"))
-        )
-        out = jax.vmap(
-            lambda a: separate_nstem(params, a, cfg, out_band)
-        )(tracks)
-        return jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, P("data"))
-        )
+    def local(params, tracks):
+        return separate_nstem_batch(params, tracks, cfg, out_band)
 
-    return jax.jit(fn)
+    fn = jax.shard_map(
+        local, mesh=flat, in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False,  # pallas_call declares no mesh-varying info
+    )
+    return jax.jit(fn), n_devices
 
 
 def separate_batch_sharded(
@@ -149,14 +181,20 @@ def separate_batch_sharded(
     cfg: SeparatorConfig,
     mesh: Mesh,
 ) -> jax.Array:
-    """Batched multi-track separation with tracks sharded over "data".
+    """Batched multi-track separation with tracks sharded over the mesh.
 
     The BASELINE "64 stereo tracks concurrently, sharded across chips"
-    config: every track runs the full N-stem graph; XLA batches all tracks'
-    tiles into the fused U-Net. Returns (n_tracks, S, 2, out_len).
+    config: every track runs the full N-stem fused graph on its shard's
+    device. Returns (n_tracks, S, 2, out_len). Track counts not divisible
+    by the device count are zero-padded and cropped.
     """
     n_stems = jax.tree.leaves(stacked_params)[0].shape[0]
-    return make_batch_fn(cfg, mesh, n_stems)(stacked_params, tracks)
+    fn, n_devices = make_batch_fn(cfg, mesh, n_stems)
+    n_tracks = tracks.shape[0]
+    padded = -(-n_tracks // n_devices) * n_devices
+    if padded != n_tracks:
+        tracks = jnp.pad(tracks, ((0, padded - n_tracks), (0, 0), (0, 0)))
+    return fn(stacked_params, tracks)[:n_tracks]
 
 
 def stream_scan_sharded(
@@ -182,6 +220,12 @@ def stream_scan_sharded(
     params = shard_params(stacked_params, mesh, stem_sharded=True)
 
     def fn(params, audio):
-        return stream_mod.stream_scan(params, audio, cfg, n_stems, out_band)
+        # pallas=False: this graph runs under GSPMD auto-partitioning (stem
+        # axis sharded), where custom calls cannot be partitioned. High
+        # streams/chip serving uses block_step_streams per device instead
+        # (benchmarks/bench_stream.py), which keeps the fused kernels.
+        return stream_mod.stream_scan(
+            params, audio, cfg, n_stems, out_band, pallas=False
+        )
 
     return jax.jit(fn)(params, audio)

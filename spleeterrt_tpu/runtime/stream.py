@@ -124,7 +124,7 @@ def init_state_streams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stems", "out_band")
+    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
 )
 def block_step_streams(
     stacked_params: Params,
@@ -133,6 +133,7 @@ def block_step_streams(
     cfg: SeparatorConfig,
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
+    pallas: bool = True,
 ):
     """One timeStep block of K concurrent independent streams.
 
@@ -158,7 +159,7 @@ def block_step_streams(
     masked_in = spec[..., :bl] * m_in.astype(jnp.complex64)
     masked_out = spec[..., bl:] * uw[:, None, None, None].astype(jnp.complex64)
     masked = jnp.concatenate([masked_in, masked_out], axis=-1)
-    frames_t = transform.irfft(masked, FFT_SIZE)  # (K,S,2,T,FFT)
+    frames_t = transform.irfft(masked, FFT_SIZE, pallas=pallas)  # (K,S,2,T,FFT)
     tails = frames_t[..., SAMPLE_SHIFT:] * ws  # (K,S,2,T,SYNTH_LEN)
     # out hop c = tails[c][:HOP] + tails[c-1][HOP:], c-1 = -1 from carry.
     heads = tails[..., :HOP]
@@ -185,7 +186,8 @@ def block_step_streams(
     mag = jnp.abs(state.spec1[..., :bl])  # (K, 2, T, bl)
     nn_in = mag.transpose(0, 2, 3, 1)  # (K, T, bl, 2)
     masks_new = multi_stem_forward(
-        stacked_params, nn_in, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+        stacked_params, nn_in, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid,
+        pallas_head=pallas, pallas_encoder=pallas,
     ).transpose(1, 0, 2, 3, 4)  # (K, S, T, bl, 2)
 
     new_state = StreamState(
@@ -199,7 +201,7 @@ def block_step_streams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stems", "out_band")
+    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
 )
 def block_step(
     stacked_params: Params,
@@ -208,6 +210,7 @@ def block_step(
     cfg: SeparatorConfig,
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
+    pallas: bool = True,
 ):
     """One timeStep block: returns (new_state, out_block (S, 2, T * HOP)).
 
@@ -217,18 +220,21 @@ def block_step(
     """
     state1 = jax.tree.map(lambda a: a[None], state)
     new_state, out = block_step_streams(
-        stacked_params, state1, block_in[None], cfg, n_stems, out_band
+        stacked_params, state1, block_in[None], cfg, n_stems, out_band, pallas
     )
     return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_stems", "out_band"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
+)
 def stream_scan(
     stacked_params: Params,
     audio: jax.Array,  # (2, n_blocks * T * HOP)
     cfg: SeparatorConfig,
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
+    pallas: bool = True,
 ):
     """Run the whole signal through the streaming engine with lax.scan.
 
@@ -243,7 +249,9 @@ def stream_scan(
     blocks = blocks.transpose(1, 0, 2)  # (n_blocks, 2, T*HOP)
 
     def step(state, block_in):
-        return block_step(stacked_params, state, block_in, cfg, n_stems, out_band)
+        return block_step(
+            stacked_params, state, block_in, cfg, n_stems, out_band, pallas
+        )
 
     state = init_state(cfg, n_stems)
     _, outs = jax.lax.scan(step, state, blocks)  # (n_blocks, S, 2, T*HOP)
