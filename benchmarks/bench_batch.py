@@ -77,7 +77,7 @@ def main():
         )
         padded = jax.device_put(jnp.asarray(padded))
 
-        batch_fn = mesh_mod.make_batch_fn(cfg, mesh, 4)
+        batch_fn, _ = mesh_mod.make_batch_fn(cfg, mesh, 4)
 
         @jax.jit
         def run(params, tracks):

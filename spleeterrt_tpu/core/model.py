@@ -301,15 +301,25 @@ def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+# Like PALLAS_HEAD_MAX_BATCH: above this many (stem * tile) rows the XLA
+# encoder front wins (the kernels' host-side pack/unpack transposes scale
+# with batch; measured on v5e at the 300 s offline workload, S*B = 204:
+# XLA U-Net 75.2 ms vs Pallas-encoder 87.8 ms -- docs/PERF.md round 3).
+PALLAS_ENCODER_MAX_BATCH = 64
+
+
 def _use_pallas_encoder(params: Params, magnitude: jax.Array) -> bool:
     """Fused enc1-enc3 kernels: accelerator fast path only.
 
     The kernels hard-code the standard channel ladder (2->16->32->64) and
     need quad/row-divisible shapes. `params` may carry a leading stem axis.
+    Large batches take the XLA front (see PALLAS_ENCODER_MAX_BATCH).
     """
     from spleeterrt_tpu.kernels import encoder
 
     t, f, c = magnitude.shape[-3], magnitude.shape[-2], magnitude.shape[-1]
+    n_stems = jax.tree.leaves(params)[0].shape[0] if _is_stacked(params) else 1
+    batch = magnitude.shape[0] if magnitude.ndim == 4 else 1
     ok = (
         params["down1"]["w"].shape[-4:] == (5, 5, 2, 16)
         and params["down2"]["w"].shape[-4:] == (5, 5, 16, 32)
@@ -318,6 +328,7 @@ def _use_pallas_encoder(params: Params, magnitude: jax.Array) -> bool:
     )
     if FORCE_PALLAS_ENCODER is not None:
         return FORCE_PALLAS_ENCODER and ok
+    ok = ok and n_stems * batch <= PALLAS_ENCODER_MAX_BATCH
     return jax.default_backend() != "cpu" and ok
 
 

@@ -9,7 +9,8 @@
 // (spleeterrt_tpu/native/__init__.py). No JAX types cross this boundary --
 // only float32 buffers.
 //
-// Build: see spleeterrt_tpu/native/build.py (g++ -O3 -shared).
+// Build: lazily compiled by spleeterrt_tpu/native/__init__.py
+// (g++ -O3 -shared -fPIC) with a pure-Python fallback when no toolchain.
 
 #include <cmath>
 #include <cstdint>
