@@ -101,7 +101,11 @@ class StreamState(NamedTuple):
 
 def init_state(cfg: SeparatorConfig, n_stems: int) -> StreamState:
     t = cfg.time_step
-    zspec = jnp.zeros((2, t, N_BINS), jnp.complex64)
+    # Build the complex zeros ON DEVICE (lax.complex of real zeros): the
+    # axon TPU backend cannot transfer complex64 host buffers
+    # (UNIMPLEMENTED), and jnp.zeros(complex64) is a host transfer.
+    zreal = jnp.zeros((2, t, N_BINS), jnp.float32)
+    zspec = jax.lax.complex(zreal, zreal)
     return StreamState(
         in_tail=jnp.zeros((2, FFT_SIZE - HOP), jnp.float32),
         spec1=zspec,
