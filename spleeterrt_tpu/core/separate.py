@@ -34,6 +34,19 @@ def num_tiles(n_frames: int, time_step: int) -> int:
     return max(1, -(-n_frames // time_step))
 
 
+def _fused_stft_ok(cfg: SeparatorConfig) -> bool:
+    """Gate for the fused Pallas STFT path: kernels/stft_fused.py hard-codes
+    FFT 4096 / hop 1024 (LAP 4); any other transform config must fall back
+    to the hop-agnostic canonical formulation."""
+    from spleeterrt_tpu.kernels import stft_fused
+
+    return (
+        cfg.transform.fft_size == stft_fused.N
+        and cfg.transform.hop == stft_fused.HOP
+        and transform._use_fused_stft()
+    )
+
+
 def spec_to_tiles(spec: jax.Array, cfg: SeparatorConfig) -> jax.Array:
     """(2, n_frames, n_bins) complex -> magnitude tiles (n_tiles, T, binL, 2).
 
@@ -108,11 +121,7 @@ def separate_2stem(
     """vocals = istft(mask * spec); accompaniment = input - vocals in the time
     domain (Executable/main.c:779-808). Returns (2, 2ch, out_len)."""
     data_size = audio.shape[-1]
-    if (
-        pallas
-        and cfg.transform.fft_size == 4096
-        and transform._use_fused_stft()
-    ):
+    if pallas and _fused_stft_ok(cfg):
         from spleeterrt_tpu.kernels import stft_fused
 
         tcfg = cfg.transform
@@ -240,11 +249,7 @@ def separate_nstem(
     in parallel/mesh.py re-enable the kernels on per-device shards.
     """
     data_size = audio.shape[-1]
-    if (
-        pallas
-        and cfg.transform.fft_size == 4096
-        and transform._use_fused_stft()
-    ):
+    if pallas and _fused_stft_ok(cfg):
         return _separate_nstem_fused(stacked_params, audio, cfg, out_band)
 
     spec = transform.stft(audio, cfg.transform, data_size)
@@ -299,13 +304,13 @@ def separate_nstem_batch(
     also the efficient serving shape (benchmarks/bench_batch.py).
     """
     b, rows, data_size = tracks.shape
-    if not (
-        pallas
-        and cfg.transform.fft_size == 4096
-        and transform._use_fused_stft()
-    ):
+    if not (pallas and _fused_stft_ok(cfg)):
+        # Per-track Pallas kernels are forced off inside the vmap: the
+        # manual-DMA kernels (pallas_fft masked-iSTFT, encoder/head) are not
+        # vmappable, so a vmapped trace with pallas=True would crash at
+        # trace time (e.g. SPLEETERRT_FUSED_STFT=0 on an accelerator).
         return jax.vmap(
-            lambda a: separate_nstem(stacked_params, a, cfg, out_band, pallas)
+            lambda a: separate_nstem(stacked_params, a, cfg, out_band, False)
         )(tracks)
 
     from spleeterrt_tpu.kernels import stft_fused

@@ -93,16 +93,27 @@ def irfft(
             return pallas_fft.irfft4096_pallas(spec, window_key)
         out = fastfft.irfft4096(spec)
         if window_key is not None:
-            from spleeterrt_tpu.kernels import pallas_fft
-
-            out = out * jnp.asarray(pallas_fft._WINDOWS[window_key])
+            out = out * _registered_window(window_key)
         return out
     out = jnp.fft.irfft(spec, n=n, axis=-1)
     if window_key is not None:
-        from spleeterrt_tpu.kernels import pallas_fft
-
-        out = out * jnp.asarray(pallas_fft._WINDOWS[window_key])
+        out = out * _registered_window(window_key)
     return out
+
+
+def _registered_window(window_key: str) -> jax.Array:
+    """Look up a window registered with pallas_fft.register_window, with an
+    explicit error matching the Pallas branch's contract (which tolerates
+    unknown keys via .get; direct irfft callers get a clear message here)."""
+    from spleeterrt_tpu.kernels import pallas_fft
+
+    win = pallas_fft._WINDOWS.get(window_key)
+    if win is None:
+        raise KeyError(
+            f"window {window_key!r} is not registered; call "
+            f"pallas_fft.register_window (or synthesis_window_key) first"
+        )
+    return jnp.asarray(win)
 
 
 def synthesis_window_key(cfg: TransformConfig) -> str:

@@ -97,12 +97,7 @@ def read_wav(path: str | os.PathLike | bytes) -> AudioData:
                     break
         if fmt is None or data is None:
             raise ValueError("missing fmt/data chunk")
-        (tag, channels, rate, _bps, _align, bits) = struct.unpack(
-            "<HHIIHH", fmt[:16]
-        )
-        if tag == WAVE_FORMAT_EXTENSIBLE:
-            # Subformat GUID's first two bytes carry the real format tag.
-            tag = struct.unpack("<H", fmt[24:26])[0]
+        tag, channels, rate, bits = _parse_fmt(fmt, "<wav bytes>")
         x = _decode_pcm(data, tag, bits)
         n = x.size // channels
         samples = x[: n * channels].reshape(n, channels).T
@@ -147,21 +142,9 @@ class WavReader:
                     f.seek(csize + csize % 2, 1)
             if fmt is None or self._data_off is None:
                 raise ValueError(f"missing fmt/data chunk: {self.path}")
-        if len(fmt) < 16:
-            raise ValueError(f"short fmt chunk: {self.path}")
-        tag, channels, rate, _bps, _align, bits = struct.unpack(
-            "<HHIIHH", fmt[:16]
-        )
-        if tag == WAVE_FORMAT_EXTENSIBLE:
-            if len(fmt) < 26:
-                raise ValueError(f"short EXTENSIBLE fmt chunk: {self.path}")
-            tag = struct.unpack("<H", fmt[24:26])[0]
-        # Reject compressed/odd formats up front (ADPCM etc. would make
-        # frame_bytes 0 and crash); callers fall back to a full decode.
-        if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
-            raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}")
-        if bits not in (8, 16, 24, 32, 64) or channels < 1:
-            raise ValueError(f"unsupported WAV layout ({bits} bit): {self.path}")
+        tag, channels, rate, bits = _parse_fmt(fmt, self.path)
+        if channels < 1:
+            raise ValueError(f"unsupported WAV layout (0 channels): {self.path}")
         self.tag, self.channels, self.sample_rate, self.bits = (
             tag, channels, rate, bits,
         )
@@ -192,8 +175,43 @@ class WavReader:
         return self.read(0, self.n_frames)
 
 
+# Valid bit depths per format tag. IEEE_FLOAT 16/24-bit or PCM 64-bit
+# headers would otherwise silently decode garbage (f8 reinterpretation) or
+# die later in _decode_pcm; reject them at header-parse time.
+_VALID_BITS = {
+    WAVE_FORMAT_PCM: (8, 16, 24, 32),
+    WAVE_FORMAT_IEEE_FLOAT: (32, 64),
+}
+
+
+def _parse_fmt(fmt: bytes, path: str) -> tuple[int, int, int, int]:
+    """Validate a fmt chunk -> (tag, channels, rate, bits).
+
+    Rejects compressed/odd formats up front (ADPCM etc. would make
+    frame_bytes 0 and crash) and bit depths invalid for the tag; callers
+    fall back to a full ffmpeg/soundfile decode.
+    """
+    if len(fmt) < 16:
+        raise ValueError(f"short fmt chunk: {path}")
+    tag, channels, rate, _bps, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == WAVE_FORMAT_EXTENSIBLE:
+        # Subformat GUID's first two bytes carry the real format tag.
+        if len(fmt) < 26:
+            raise ValueError(f"short EXTENSIBLE fmt chunk: {path}")
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if tag not in _VALID_BITS:
+        raise ValueError(f"unsupported WAVE format tag 0x{tag:04x}: {path}")
+    if bits not in _VALID_BITS[tag]:
+        raise ValueError(
+            f"unsupported WAV layout ({bits}-bit, tag 0x{tag:04x}): {path}"
+        )
+    return tag, channels, rate, bits
+
+
 def _decode_pcm(data: bytes, tag: int, bits: int) -> np.ndarray:
     if tag == WAVE_FORMAT_IEEE_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(f"unsupported float bit depth {bits}")
         dtype = "<f4" if bits == 32 else "<f8"
         return np.frombuffer(data, dtype=dtype).astype(np.float32)
     if tag != WAVE_FORMAT_PCM:
