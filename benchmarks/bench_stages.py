@@ -172,6 +172,7 @@ def main():
     for enc in (False, True):
         for head in (False, True):
             model.FORCE_PALLAS_ENCODER = enc
+            model.FORCE_PALLAS_HEAD = head  # past the batch-size gate
 
             def unet_body(t):
                 masks = model.multi_stem_forward(
@@ -182,6 +183,7 @@ def main():
             key = f"unet_enc={'pallas' if enc else 'xla'}_head={'pallas' if head else 'xla'}_ms"
             results[key] = timed_loop(unet_body, tiles)
             model.FORCE_PALLAS_ENCODER = None
+            model.FORCE_PALLAS_HEAD = None
 
     print(json.dumps({k: round(v, 3) for k, v in results.items()}, indent=1))
 

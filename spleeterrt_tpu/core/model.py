@@ -162,6 +162,10 @@ FORCE_FAST_LAYOUTS: bool | None = None
 FORCE_PALLAS_HEAD: bool | None = None
 # Same, for the fused Pallas encoder front (kernels/encoder.py).
 FORCE_PALLAS_ENCODER: bool | None = None
+# Same, for the round-4 fully packed trunk (kernels/encoder.py 4-layer
+# chain + XLA mid + kernels/tail.py up4/up5/head). When it applies it
+# supersedes the enc/head gates above.
+FORCE_PACKED_UNET: bool | None = None
 
 
 def _use_fast_layouts() -> bool:
@@ -382,6 +386,135 @@ def _unet_trunk(
     return _trunk_tail(params, x, tuple(skips), stem_mode, compute_dtype)
 
 
+def _use_packed_unet(params: Params, magnitude: jax.Array, sigmoid: str) -> bool:
+    """Round-4 packed trunk: Pallas enc1-4 + XLA mid + Pallas up4/up5/head
+    with every boundary tensor staying in the quad-packed layout. Wins at
+    every batch size measured on v5e (docs/PERF.md round-4 table), so it is
+    the accelerator default whenever the standard architecture + shape
+    constraints hold."""
+    from spleeterrt_tpu.kernels import encoder, mask_head
+
+    t, f = magnitude.shape[-3], magnitude.shape[-2]
+    c = magnitude.shape[-1]
+    keys = ("down1", "down2", "down3", "down4", "up4", "up5", "up6", "up7")
+    if not all(k in params for k in keys):
+        return False
+    shapes_ok = (
+        sigmoid == "exact"
+        and params["down1"]["w"].shape[-4:] == (5, 5, 2, 16)
+        and params["down2"]["w"].shape[-4:] == (5, 5, 16, 32)
+        and params["down3"]["w"].shape[-4:] == (5, 5, 32, 64)
+        and params["down4"]["w"].shape[-4:] == (5, 5, 64, 128)
+        and params["up4"]["w"].shape[-4:] == (5, 5, 128, 32)
+        and params["up5"]["w"].shape[-4:] == (5, 5, 64, 16)
+        and params["up6"]["w"].shape[-4:] == (5, 5, 32, 1)
+        and params["up7"]["w"].shape[-4:] == (4, 4, 1, 2)
+        and encoder.supports4(t, f, c)
+        and t % 64 == 0 and f % 64 == 0
+        and (t // 2) % mask_head.TT == 0
+        and (f // 2) % 16 == 0
+    )
+    if FORCE_PACKED_UNET is not None:
+        return FORCE_PACKED_UNET and shapes_ok
+    return jax.default_backend() != "cpu" and shapes_ok
+
+
+def _mid_trunk_xla(
+    params: Params,
+    act4: jax.Array,  # (B, T/16, F/16, 128) enc4's activated output
+    skip4: jax.Array,  # (B, T/16, F/16, 128) enc4's pre-act skip
+    stem_mode: int,
+    compute_dtype,
+) -> jax.Array:
+    """enc5 + enc6 + up1..up3 in plain XLA (C >= 64: MXU-efficient there,
+    docs/PERF.md round-4: ~9 ms of the 75 ms XLA U-Net at S*B = 204).
+    Returns up3's post-BN output (B, T/8, F/8, 64), before the skip3
+    concat (the packed up4 kernel performs that concat as split-K)."""
+    cast = lambda a: a.astype(compute_dtype)
+    ly5 = params["down5"]
+    conv5 = _conv_encoder(act4, cast(ly5["w"]), 5) + cast(ly5["b"])
+    x = _act_encoder(
+        cast(ly5["bn_scale"]) * conv5 + cast(ly5["bn_shift"]), stem_mode
+    )
+    ly6 = params["down6"]
+    x = _conv_encoder(x, cast(ly6["w"]), 6) + cast(ly6["b"])  # bias only
+
+    skips = {1: conv5, 2: skip4}
+    for i in range(1, 4):
+        ly = params[f"up{i}"]
+        y = _tconv_decoder(x, cast(ly["w"]), i) + cast(ly["b"])
+        y = cast(ly["bn_scale"]) * _act_decoder(y, stem_mode) + cast(ly["bn_shift"])
+        x = jnp.concatenate([skips[i], y], axis=-1) if i < 3 else y
+    return x
+
+
+def _packed_unet(
+    stacked_params: Params,
+    magnitude: jax.Array,  # (B, T, F, 2), shared across stems
+    stem_mode: int,
+    compute_dtype,
+) -> jax.Array:
+    """Fully packed multi-stem forward -> (S, B, T, F, 2) masks.
+
+    Dataflow (reference semantics Executable/spleeter.c:177-301):
+    Pallas enc1-4 (quad-packed, skips stay packed) -> XLA enc5..up3 on the
+    small deep tensors -> Pallas up4/up5 (split-K concats, packed) ->
+    Pallas head -> one unpack transpose of the finished masks.
+    """
+    from spleeterrt_tpu.kernels import encoder, tail
+
+    s = jax.tree.leaves(stacked_params)[0].shape[0]
+    b, t, f, _ = magnitude.shape
+    dt = jnp.dtype(compute_dtype)
+    enc_act = "elu" if stem_mode == STEM_MODE_4 else "leaky"
+    dec_act = "elu" if stem_mode == STEM_MODE_4 else "relu"
+
+    (s1pk, s2pk, s3pk, s4pk), act4_pk = encoder.encoder_packed(
+        {k: stacked_params[k] for k in ("down1", "down2", "down3", "down4")},
+        magnitude, n_layers=4, act=enc_act, compute_dtype=dt,
+    )
+    act4 = encoder.quad_unpack(act4_pk, 128).reshape(s, b, t // 16, f // 16, 128)
+    skip4 = encoder.quad_unpack(s4pk, 128).reshape(s, b, t // 16, f // 16, 128)
+    up3out = jax.vmap(
+        lambda p, x, s4: _mid_trunk_xla(p, x, s4, stem_mode, dt)
+    )(stacked_params, act4, skip4)  # (S, B, T/8, F/8, 64)
+    up3pk = tail.quad_pack_nhwc(
+        up3out.reshape(s * b, t // 8, f // 8, 64), 64
+    ).astype(dt)
+
+    def pack_up(w, csrc):
+        return (
+            jax.vmap(lambda ww: tail._pack_w_up(ww[:, :, :csrc, :], csrc, dt))(w),
+            jax.vmap(lambda ww: tail._pack_w_up(ww[:, :, csrc:, :], csrc, dt))(w),
+        )
+
+    ly = stacked_params["up4"]
+    w_skip, w_prev = pack_up(ly["w"], 64)
+    epi = jax.vmap(tail._up_epilogue)(ly["b"], ly["bn_scale"], ly["bn_shift"])
+    up4pk = tail.up_shallow(
+        tail.pad_pk(s3pk), tail.pad_pk(up3pk), w_skip, w_prev, epi,
+        t_in=t // 8, act=dec_act, out_dtype=dt,
+    )
+
+    ly = stacked_params["up5"]
+    w_skip, w_prev = pack_up(ly["w"], 32)
+    epi = jax.vmap(tail._up_epilogue)(ly["b"], ly["bn_scale"], ly["bn_shift"])
+    up5pk = tail.up_shallow(
+        tail.pad_pk(s2pk), tail.pad_pk(up4pk), w_skip, w_prev, epi,
+        t_in=t // 4, act=dec_act, out_dtype=dt,
+    )
+
+    ly6, ly7 = stacked_params["up6"], stacked_params["up7"]
+    masks_packed = tail.head_packed(
+        tail.pad_pk_head(s1pk), tail.pad_pk_head(up5pk),
+        ly6["w"], ly6["b"], ly6["bn_scale"], ly6["bn_shift"],
+        ly7["w"], ly7["b"],
+        t2=t // 2, act=dec_act, compute_dtype=dt,
+    )
+    masks = tail.unpack_mask(masks_packed, t // 2, f // 2)
+    return masks.reshape(s, b, t, f, 2)
+
+
 def _multi_stem_trunk(
     stacked_params: Params,
     magnitude: jax.Array,  # (B, T, F, 2), shared across stems
@@ -484,6 +617,14 @@ def unet_forward(
     are promoted to fp32 for the sigmoid. fp32 `compute_dtype` gives the
     oracle-parity path.
     """
+    if (
+        pallas_head and pallas_encoder
+        and _use_packed_unet(params, magnitude, sigmoid)
+    ):
+        stacked = jax.tree.map(lambda a: a[None], params)
+        mag = magnitude if magnitude.ndim == 4 else magnitude[None]
+        out = _packed_unet(stacked, mag, stem_mode, compute_dtype)[0]
+        return out if magnitude.ndim == 4 else out[0]
     if pallas_encoder and _use_pallas_encoder(params, magnitude):
         stacked = jax.tree.map(lambda a: a[None], params)
         x = _multi_stem_trunk(stacked, magnitude, stem_mode, compute_dtype)[0]
@@ -517,6 +658,13 @@ def multi_stem_forward(
     training loss must stay on the canonical XLA formulation
     (core/train.py::separation_loss).
     """
+    if (
+        pallas_head and pallas_encoder
+        and _use_packed_unet(stacked_params, magnitude, sigmoid)
+    ):
+        mag = magnitude if magnitude.ndim == 4 else magnitude[None]
+        out = _packed_unet(stacked_params, mag, stem_mode, compute_dtype)
+        return out if magnitude.ndim == 4 else out[:, 0]
     use_head = pallas_head and _use_pallas_head(
         stacked_params, magnitude, sigmoid
     )

@@ -61,6 +61,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spleeterrt_tpu.kernels.blockspec import element_window
+
 # Per-grid-step VMEM budget in quad-rows (quads x input rows). The Mosaic
 # stack cost scales with nqc * t_in; 32 quads x 128 rows fits under the
 # 16 MB scoped-vmem limit on v5e (48 x 128 hit 17.6 MB, 32 x 256 hit
@@ -173,30 +175,22 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _enc1_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref, xbuf, sem,
+def _enc1_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref,
                  *, act: str, nqc: int, t2: int, bper: int):
     """One (stem*batch, frequency-chunk) step of the s2d enc1 conv.
 
-    xq_ref: (B, nq + 1, round8(t2 + 2), 128) s2d quad-packed input in HBM
+    xq_ref: (1, nqc + 1, round8(t2 + 2), 128) s2d quad-packed input window
             (one zero row on top, zeros below data to the DMA alignment,
-            one window quad appended right), stem-shared.
+            one window quad appended right), stem-shared; fetched as an
+            overlapping Element window so the pipeline double-buffers it.
     w_ref:  (1, 3, 2, 128, 256) this stem's window matmul weights.
     epi_ref:(1, 3, 256) f32 bias / bn_scale / bn_shift lane table.
     skip_ref, act_ref: (1, nqc, 2, t2, 128) packed outputs; the pair axis
             holds the two output quads of each input quad (a free host
             reshape restores plain quad order).
-    xbuf:   VMEM scratch (nqc + 1, round8(t2 + 2), 128).
     """
-    b = pl.program_id(0)
-    f = pl.program_id(1)
     tp = _round8(t2 + 2)
-
-    dma = pltpu.make_async_copy(
-        xq_ref.at[b % bper, pl.ds(f * nqc, nqc + 1)], xbuf, sem
-    )
-    dma.start()
-    dma.wait()
-    x = xbuf[:]
+    x = xq_ref[0]
 
     acc = jnp.zeros((nqc, t2, 256), jnp.float32)
     for a in range(3):  # row taps: output row r reads padded rows r + a
@@ -223,30 +217,23 @@ def _enc1_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref, xbuf, sem,
 _S2_TAPS = ((0, 1, 0), (1, 0, 1), (2, 1, 1), (3, 0, 2), (4, 1, 2))
 
 
-def _s2_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref, xbuf, sem,
+def _s2_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref,
                *, act: str, nqc: int, t_in: int):
     """One (stem*batch, frequency-chunk) step of a stride-2 encoder layer.
 
-    xq_ref: (SB, nq + 2, round8(t_in + 4), 128) quad-packed input in HBM,
+    xq_ref: (1, nqc + 2, round8(t_in + 4), 128) quad-packed input window,
             2 zero rows on top, zeros below data to the DMA alignment, and
-            1 zero quad left/right (host-added).
+            1 zero quad left/right (host-added); fetched as an overlapping
+            Element window so the pipeline double-buffers it.
     w_ref:  (1, 5, 3, 128, 128) this stem's window matmul weights.
     epi_ref:(1, 3, 128) f32 bias / bn_scale / bn_shift lane table.
     skip_ref, act_ref: (1, nqc, t_in//2, 128) packed outputs.
-    xbuf:   VMEM scratch (nqc + 2, round8(t_in + 4), 128).
     """
-    b = pl.program_id(0)
-    f = pl.program_id(1)
     t2 = t_in // 2
     tp = _round8(t_in + 4) // 2  # parity-plane rows (global -2 .. pad)
 
-    dma = pltpu.make_async_copy(
-        xq_ref.at[b, pl.ds(f * nqc, nqc + 2)], xbuf, sem
-    )
-    dma.start()
-    dma.wait()
     # Parity fold: row pair (2j, 2j+1) -> lanes [0:128), [128:256) of row j.
-    xf = xbuf[:].reshape(nqc + 2, tp, 256)
+    xf = xq_ref[0].reshape(nqc + 2, tp, 256)
 
     acc = jnp.zeros((nqc, t2, 128), jnp.float32)
     for k, parity, off in _S2_TAPS:
@@ -298,7 +285,11 @@ def _enc1_call(xq, w, epi, *, t2, bper, act, dtype):
         ),
         grid=(sb, nf),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # DMA'd manually
+            element_window(
+                (1, nqc + 1, tdma, 128),
+                lambda b, f: (b % bper, f * nqc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 3, 2, 128, 256), lambda b, f: (b // bper, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -309,10 +300,6 @@ def _enc1_call(xq, w, epi, *, t2, bper, act, dtype):
             ),
         ],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((nqc + 1, tdma, 128), xq.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(xq, w, epi)
     return (
         skip.reshape(sb, 2 * nq, t2, 128),
@@ -339,7 +326,11 @@ def _s2_call(xq, w, epi, *, t_in, bper, act, dtype):
         ),
         grid=(sb, nf),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # DMA'd manually
+            element_window(
+                (1, nqc + 2, tdma, 128),
+                lambda b, f: (b, f * nqc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 5, 3, 128, 128), lambda b, f: (b // bper, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -350,10 +341,6 @@ def _s2_call(xq, w, epi, *, t_in, bper, act, dtype):
             ),
         ],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM((nqc + 2, tdma, 128), xq.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(xq, w, epi)
 
 
@@ -367,6 +354,96 @@ def _pad_s2_input(y: jax.Array) -> jax.Array:
 def supports(t: int, f: int, cin: int) -> bool:
     """Shape gate: the three layers' quad/row divisibility constraints."""
     return cin == 2 and t % 8 == 0 and t >= 16 and f % 32 == 0 and f >= 32
+
+
+def supports4(t: int, f: int, cin: int) -> bool:
+    """Shape gate for the 4-layer chain (adds enc4's halvings)."""
+    return cin == 2 and t % 16 == 0 and t >= 32 and f % 64 == 0 and f >= 64
+
+
+def _prep_enc1_input(magnitude: jax.Array, t2: int, f2: int, dtype) -> jax.Array:
+    """(B, T, F, 2) -> space-to-depth quad-packed enc1 DMA layout.
+
+    Space-to-depth (c' = (dh*2+dw)*2 + c), one left zero column + 15 right
+    (quad alignment), one zero row on top + bottom rows to the DMA tile
+    alignment, quad-pack -- one XLA fusion over the stem-shared magnitude.
+    """
+    bsz = magnitude.shape[0]
+    xs2d = magnitude.reshape(bsz, t2, 2, f2, 2, 2).transpose(0, 1, 3, 2, 4, 5)
+    xs2d = xs2d.reshape(bsz, t2, f2, 8).astype(dtype)
+    xs2d = jnp.pad(
+        xs2d, ((0, 0), (1, _round8(t2 + 2) - t2 - 1), (1, 15), (0, 0))
+    )
+    return quad_pack(xs2d, 8)  # (B, f2/16 + 1, round8(t2 + 2), 128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "act", "compute_dtype")
+)
+def encoder_packed(
+    stacked_params,  # {down1..down_n: {w,b,bn_scale,bn_shift}}, leading S
+    magnitude: jax.Array,  # (B, T, F, 2), shared across stems
+    n_layers: int = 4,
+    act: str = "elu",
+    compute_dtype=jnp.bfloat16,
+):
+    """enc1..enc_n fused Pallas chain with every tensor quad-packed.
+
+    Returns (skips, act_n): skips is a tuple of n_layers packed tensors
+    (S*B, nq_i, T/2^i, 128) holding conv_i + bias (the pre-BN/activation
+    decoder concat operands, Executable/spleeter.c:239-288), act_n is layer
+    n's activated output in the same packed layout. Packed layout per
+    kernels/encoder.py module docstring: lane = j*C + c, quads leading.
+    Unpack with quad_unpack(x, C_i) where C_i = 16 * 2**(i-1).
+
+    Layers 2..n reuse the one stride-2 window-matmul kernel (`_s2_kernel`);
+    enc4 is the Cin=64 instance (qi = 2 columns per quad, one output column
+    per quad). Batch rows [s*B, (s+1)*B) use stem s's weights.
+    """
+    bsz, t, f, cin = magnitude.shape
+    if not (supports4(t, f, cin) if n_layers >= 4 else supports(t, f, cin)):
+        raise ValueError(f"unsupported encoder shape {magnitude.shape}")
+    if not 2 <= n_layers <= 4:
+        raise ValueError("n_layers must be in [2, 4]")
+    dtype = jnp.dtype(compute_dtype)
+    t2, f2 = t // 2, f // 2
+
+    d1 = stacked_params["down1"]
+    w1 = jax.vmap(
+        lambda w: _pack_w_enc1(_pack_enc_kernel_f32(w), dtype)
+    )(d1["w"])
+    epi1 = jax.vmap(lambda b, s, h: _epilogue_table(b, s, h, 256))(
+        d1["b"], d1["bn_scale"], d1["bn_shift"]
+    )
+    xq1 = _prep_enc1_input(magnitude, t2, f2, dtype)
+    skip, actv = _enc1_call(
+        xq1, w1, epi1, t2=t2, bper=bsz, act=act, dtype=dtype
+    )
+    skips = [skip]
+
+    t_in = t2
+    for i in range(2, n_layers + 1):
+        ly = stacked_params[f"down{i}"]
+        cin_i = 16 * 2 ** (i - 2)
+        w = jax.vmap(lambda w: _pack_w_s2(w, cin_i, dtype))(ly["w"])
+        # 128-lane table; cout = 2*cin_i repeats over the packed lanes.
+        epi = jax.vmap(lambda b, s, h: _epilogue_table(b, s, h, 128))(
+            ly["b"], ly["bn_scale"], ly["bn_shift"]
+        )
+        skip, actv = _s2_call(
+            _pad_s2_input(actv), w, epi, t_in=t_in, bper=bsz, act=act,
+            dtype=dtype,
+        )
+        skips.append(skip)
+        t_in //= 2
+
+    return tuple(skips), actv
+
+
+def _pack_enc_kernel_f32(w: jax.Array) -> jax.Array:
+    from spleeterrt_tpu.core.model import _pack_enc_kernel
+
+    return _pack_enc_kernel(w.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("act", "compute_dtype"))

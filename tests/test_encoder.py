@@ -149,3 +149,73 @@ def test_multi_stem_forward_pallas_encoder_exact(rng):
         model.FORCE_PALLAS_ENCODER = None
         model.unet_forward.clear_cache()
     np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-4)
+
+
+def _rand_enc_params4(rng, scale=0.2):
+    chans = ((2, 16), (16, 32), (32, 64), (64, 128))
+    params = {}
+    for i, (cin, cout) in enumerate(chans, start=1):
+        params[f"down{i}"] = {
+            "w": rng.standard_normal((5, 5, cin, cout)).astype(np.float32) * scale,
+            "b": rng.standard_normal((cout,)).astype(np.float32) * 0.1,
+            "bn_scale": (1 + 0.3 * rng.standard_normal((cout,))).astype(np.float32),
+            "bn_shift": rng.standard_normal((cout,)).astype(np.float32) * 0.2,
+        }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _canonical_n(params, mag, act, n):
+    x = mag
+    skips = []
+    for i in range(1, n + 1):
+        ly = params[f"down{i}"]
+        conv = model._conv_same(x, ly["w"]) + ly["b"]
+        skips.append(conv)
+        z = ly["bn_scale"] * conv + ly["bn_shift"]
+        x = model._elu(z) if act == "elu" else jnp.where(z >= 0, z, 0.2 * z)
+    return skips, x
+
+
+@pytest.mark.parametrize("act", ["elu", "leaky"])
+def test_encoder_packed4_matches_canonical(rng, act):
+    """4-layer packed chain (enc4 = Cin 64 instance of the s2 kernel)."""
+    params = _rand_enc_params4(rng)
+    mag = jnp.asarray(
+        np.abs(rng.standard_normal((2, 32, 64, 2))).astype(np.float32)
+    )
+    stacked = jax.tree.map(lambda a: a[None], params)
+    enc.encoder_packed.clear_cache()
+    skips_pk, act4_pk = enc.encoder_packed(
+        stacked, mag, n_layers=4, act=act, compute_dtype=jnp.float32
+    )
+    ref_skips, ref_act = _canonical_n(params, mag, act, 4)
+    for i, (g_pk, r) in enumerate(zip(skips_pk, ref_skips), start=1):
+        g = enc.quad_unpack(g_pk, 16 * 2 ** (i - 1))
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=2e-4
+        )
+    got_act = enc.quad_unpack(act4_pk, 128)
+    np.testing.assert_allclose(
+        np.asarray(got_act), np.asarray(ref_act), atol=1e-4, rtol=2e-4
+    )
+
+
+def test_encoder_packed4_folded_stems(rng):
+    s, b = 2, 2
+    params = _rand_enc_params4(rng)
+    stacked = _stack(params, s)
+    mag = jnp.asarray(
+        np.abs(rng.standard_normal((b, 32, 64, 2))).astype(np.float32)
+    )
+    enc.encoder_packed.clear_cache()
+    skips_pk, act4_pk = enc.encoder_packed(
+        stacked, mag, n_layers=4, act="elu", compute_dtype=jnp.float32
+    )
+    got_act = enc.quad_unpack(act4_pk, 128)
+    for i in range(s):
+        p_i = jax.tree.map(lambda a: a[i], stacked)
+        _, ref_act = _canonical_n(p_i, mag, "elu", 4)
+        np.testing.assert_allclose(
+            np.asarray(got_act[i * b : (i + 1) * b]), np.asarray(ref_act),
+            atol=2e-3, rtol=2e-3,
+        )
