@@ -70,28 +70,38 @@ def main():
             state, out = stream.block_step_streams(stacked, state, block, cfg, 4)
             float(jnp.sum(jnp.abs(out)))  # sync (axon underreports b.u.r.)
             best = min(best, time.perf_counter() - t0)
-        per_stream_rtf = block_seconds / best * k
+        aggregate_rtf = block_seconds / best * k
         results.append(
             {
                 "metric": f"stream_block_ms_K{k}",
                 "value": round(best * 1e3, 2),
                 "unit": "ms_per_block_dispatch",
-                "vs_baseline": round(per_stream_rtf, 1),
+                "streams": k,
+                "aggregate_rtf": round(aggregate_rtf, 1),
+                "realtime_ok": bool(best <= block_seconds),
             }
         )
         print(json.dumps(results[-1]))
 
-    # Streams sustainable at 1x realtime each = K * block_s / step_s, using
-    # the best (largest measured K) marginal rate.
-    best_k = results[-1]
-    streams_rt = best_k["vs_baseline"]
+    # Streams sustainable at 1x realtime each: the engine's two-block
+    # latency contract requires each K-stream dispatch to FINISH within one
+    # block interval (VST/Source/Spleeter4Stems.c:350-377 -- the audio
+    # thread swaps buffers every timeStep hops and the background inference
+    # must be done by then). So the honest figure is the largest MEASURED K
+    # whose dispatch fits in block_seconds; the throughput-extrapolated
+    # number (aggregate marginal rate) is reported separately as the
+    # capacity ceiling a deadline-aware scheduler could approach.
+    fitting = [r for r in results if r["realtime_ok"]]
+    measured_rt = max((r["streams"] for r in fitting), default=0)
+    throughput_ceiling = max(r["aggregate_rtf"] for r in results)
     print(
         json.dumps(
             {
                 "metric": "streams_per_chip_at_realtime",
-                "value": int(streams_rt),
-                "unit": "concurrent_streams",
-                "vs_baseline": round(streams_rt / 1.0, 1),  # VST: 1 stream/5 threads
+                "value": int(measured_rt),
+                "unit": "concurrent_streams_measured",
+                "throughput_ceiling_streams": int(throughput_ceiling),
+                "vs_baseline": round(measured_rt / 1.0, 1),  # VST: 1 stream/5 threads
             }
         )
     )

@@ -312,10 +312,12 @@ def _head_kernel(s1_ref, s5_ref, wa_ref, wb_ref, u7_ref, scal_ref, rowm_ref,
     xb = s5_ref[0]
 
     # 4-quad window im2col: y6 group m reads padded quads [2m, 2m + 4).
+    # Quad pairs via a free leading reshape (strided leading-axis slices
+    # lower to an unsupported gather in Mosaic).
     def xc(x):
+        x4 = x.reshape((nqc + 4) // 2, 2, th, 128)
         return jnp.concatenate(
-            [x[0 : 2 * ngy : 2], x[1 : 2 * ngy : 2],
-             x[2 : 2 * ngy + 1 : 2], x[3 : 2 * ngy + 2 : 2]],
+            [x4[0:ngy, 0], x4[0:ngy, 1], x4[1 : ngy + 1, 0], x4[1 : ngy + 1, 1]],
             axis=-1,
         ).reshape(ngy * th, 512)
 

@@ -197,6 +197,145 @@ def separate_batch_sharded(
     return fn(stacked_params, tracks)[:n_tracks]
 
 
+def compute_masks_sharded_single(
+    params: Params,
+    spec: jax.Array,
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+    stem_mode: int,
+) -> jax.Array:
+    """Single-net masks with tiles sharded over EVERY mesh device.
+
+    The reference's primary CLI modes are the single-subnet 2-stem and
+    two-pass 3-stem graphs (Executable/main.c:779-970); their frame-block
+    data parallelism maps to tiles over the flattened mesh. Runs under
+    `shard_map` with replicated params so the fused Pallas kernels stay
+    live per device. Returns (2, n_frames, bin_limit), replicated.
+    """
+    from spleeterrt_tpu.core.model import unet_forward
+
+    flat = Mesh(mesh.devices.reshape(-1), ("data",))
+    tiles = spec_to_tiles(spec, cfg)
+    tiles, n_tiles = _pad_tiles(tiles, flat.devices.size)
+
+    fwd = jax.shard_map(
+        lambda p, t: unet_forward(
+            p, t, stem_mode, cfg.compute_dtype, cfg.sigmoid
+        ),
+        mesh=flat,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,  # pallas_call declares no mesh-varying info
+    )
+    masks = jax.jit(fwd)(params, tiles)[:n_tiles]
+    return tiles_to_frames(masks, spec.shape[-2])
+
+
+def separate_2stem_sharded(
+    params: Params,
+    audio: jax.Array,  # (2, final_size) pre-padded
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Mesh-sharded 2-stem graph (Executable/main.c:779-808): vocals =
+    istft(mask * spec), accompaniment = input - vocals in time. Tiles shard
+    over all devices; the transforms run replicated on the canonical
+    formulation (<1% of FLOPs; GSPMD cannot partition custom calls).
+    Returns (2, 2ch, out_len), matching core.separate.separate_2stem."""
+    from spleeterrt_tpu.config import STEM_MODE_2
+    from spleeterrt_tpu.core.separate import apply_mask
+
+    data_size = audio.shape[-1]
+
+    def fn(params, audio):
+        spec = transform.stft(audio, cfg.transform, data_size)
+        masks = compute_masks_sharded_single(
+            params, spec, cfg, mesh, STEM_MODE_2
+        )
+        vocal = transform.istft(
+            apply_mask(spec, masks, cfg), cfg.transform, pallas=False
+        )
+        pad = vocal.shape[-1] - data_size
+        residual = jnp.pad(audio, ((0, 0), (0, pad))) - vocal
+        return jnp.stack([vocal, residual])
+
+    return jax.jit(fn)(params, audio)
+
+
+def separate_3stem_sharded(
+    params4: Params,
+    params2: Params,
+    audio: jax.Array,  # (2, final_size) pre-padded
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Mesh-sharded two-pass 3-stem graph (Executable/main.c:845-970):
+    pass 1 masks drums (4-stem-family net); the FREQUENCY-domain residual
+    feeds pass 2 (2-stem net) for vocals; accompaniment = istft(residual) -
+    vocals in time. Tiles shard over all devices in both passes.
+    Returns (3, 2ch, out_len) = (drums, vocals, accompaniment)."""
+    from spleeterrt_tpu.config import STEM_MODE_2
+    from spleeterrt_tpu.core.separate import apply_mask
+
+    data_size = audio.shape[-1]
+
+    def fn(params4, params2, audio):
+        spec = transform.stft(audio, cfg.transform, data_size)
+        drum_masks = compute_masks_sharded_single(
+            params4, spec, cfg, mesh, STEM_MODE_4
+        )
+        drum_spec = apply_mask(spec, drum_masks, cfg)
+        residual_spec = spec - drum_spec
+        drums = transform.istft(drum_spec, cfg.transform, pallas=False)
+        vocal_masks = compute_masks_sharded_single(
+            params2, residual_spec, cfg, mesh, STEM_MODE_2
+        )
+        vocals = transform.istft(
+            apply_mask(residual_spec, vocal_masks, cfg), cfg.transform,
+            pallas=False,
+        )
+        accompaniment = (
+            transform.istft(residual_spec, cfg.transform, pallas=False)
+            - vocals
+        )
+        return jnp.stack([drums, vocals, accompaniment])
+
+    return jax.jit(fn)(params4, params2, audio)
+
+
+def make_stream_fn(cfg: SeparatorConfig, mesh: Mesh, n_stems: int = 4,
+                   out_band: tuple[float, ...] | None = None):
+    """Cached-compile streaming step with K streams sharded over the mesh.
+
+    The multi-chip serving shape for the RT engine: each device runs
+    `runtime.stream.block_step_streams` -- with the fused Pallas kernels
+    live -- on its local K/N streams; streams are independent, so there is
+    zero cross-device communication (the TPU analog of one VST instance
+    per CPU, VST/Source/Spleeter4Stems.c:512-582, scaled to a mesh).
+    Returns (step_fn, n_devices): step_fn(params, state, blocks) ->
+    (new_state, out_blocks) where every state leaf and blocks carry a
+    leading K axis divisible by n_devices.
+    """
+    from spleeterrt_tpu.runtime import stream as stream_mod
+
+    if out_band is None:
+        out_band = stream_mod.RT_OUT_BAND[:n_stems]
+    flat = Mesh(mesh.devices.reshape(-1), ("data",))
+
+    def local(params, state, blocks):
+        return stream_mod.block_step_streams(
+            params, state, blocks, cfg, n_stems, out_band
+        )
+
+    fn = jax.shard_map(
+        local, mesh=flat,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,  # pallas_call declares no mesh-varying info
+    )
+    return jax.jit(fn), flat.devices.size
+
+
 def stream_scan_sharded(
     stacked_params: Params,
     audio: jax.Array,  # (2, n_blocks * T * hop)

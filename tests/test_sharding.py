@@ -193,3 +193,54 @@ def test_stream_scan_sharded_matches_unsharded(rng):
     m = pmesh.make_mesh(stem_parallel=4)
     got = np.asarray(pmesh.stream_scan_sharded(stacked, audio, cfg, m, 4))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_sharded_2stem_matches_unsharded(rng):
+    params = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    audio = jnp.asarray(rng.standard_normal((2, 2 * 4096)), jnp.float32) * 0.3
+    padded = transform.pad_offline(audio, CFG.transform)
+    ref = separate.separate_2stem(params, padded, CFG)
+    m = pmesh.make_mesh(stem_parallel=1)
+    got = pmesh.separate_2stem_sharded(params, padded, CFG, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_sharded_3stem_matches_unsharded(rng):
+    params4 = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    params2 = weights.blob_to_params(weights.random_blob(rng, 0.015))
+    audio = jnp.asarray(rng.standard_normal((2, 2 * 4096)), jnp.float32) * 0.3
+    padded = transform.pad_offline(audio, CFG.transform)
+    ref = separate.separate_3stem(params4, params2, padded, CFG)
+    m = pmesh.make_mesh(stem_parallel=2)
+    got = pmesh.separate_3stem_sharded(params4, params2, padded, CFG, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_sharded_stream_steps_match_unsharded(rng):
+    """K=8 streams over 8 devices, two chained blocks, sample-exact vs the
+    single-device multi-stream step."""
+    from spleeterrt_tpu.runtime import stream
+
+    stacked = _stacked(rng)
+    k = 8
+    block_len = CFG.time_step * stream.HOP
+    blocks = [
+        jnp.asarray(rng.standard_normal((k, 2, block_len)), jnp.float32) * 0.3
+        for _ in range(2)
+    ]
+
+    ref_state = stream.init_state_streams(CFG, 4, k)
+    refs = []
+    for b in blocks:
+        ref_state, out = stream.block_step_streams(
+            stacked, ref_state, b, CFG, 4
+        )
+        refs.append(out)
+
+    m = pmesh.make_mesh(stem_parallel=1)
+    step, n_dev = pmesh.make_stream_fn(CFG, m, 4)
+    assert n_dev == 8
+    state = stream.init_state_streams(CFG, 4, k)
+    for b, ref in zip(blocks, refs):
+        state, out = step(stacked, state, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
