@@ -133,13 +133,19 @@ def _enc1_selection() -> np.ndarray:
     return sel
 
 
-def _pack_w_enc1(w3: jax.Array, dtype) -> jax.Array:
-    """s2d kernel (3,3,8,16) -> (3, 2, 128, 256): K = j*8 + ci, N = p*16 + co."""
+def _pack_w_enc1(w3: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
+    """s2d kernel (3,3,8,16) -> ((3, 128, 256), (3, 128, 128)):
+    K = j*8 + ci, N = p*16 + co; window quad g+1 (second element) carries
+    only the upper output half (col phases p >= 14 -- the rest of its
+    full-width block is structurally zero, see _enc1_kernel)."""
     w4 = jnp.einsum(
         "wjpl,alio->awjipo", jnp.asarray(_enc1_selection()),
         w3.astype(jnp.float32),
+    ).reshape(3, 2, 128, 256)
+    return (
+        w4[:, 0].astype(dtype),
+        w4[:, 1, :, 128:].astype(dtype),
     )
-    return w4.reshape(3, 2, 128, 256).astype(dtype)
 
 
 @functools.cache
@@ -175,7 +181,7 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _enc1_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref,
+def _enc1_kernel(xq_ref, w_ref, w1_ref, epi_ref, skip_ref, act_ref,
                  *, act: str, nqc: int, t2: int, bper: int):
     """One (stem*batch, frequency-chunk) step of the s2d enc1 conv.
 
@@ -183,32 +189,50 @@ def _enc1_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref,
             (one zero row on top, zeros below data to the DMA alignment,
             one window quad appended right), stem-shared; fetched as an
             overlapping Element window so the pipeline double-buffers it.
-    w_ref:  (1, 3, 2, 128, 256) this stem's window matmul weights.
+    w_ref:  (1, 3, 128, 256) window quad g's matmul weights per row tap.
+    w1_ref: (1, 3, 128, 128) window quad g+1's weights (upper output half).
     epi_ref:(1, 3, 256) f32 bias / bn_scale / bn_shift lane table.
     skip_ref, act_ref: (1, nqc, 2, t2, 128) packed outputs; the pair axis
             holds the two output quads of each input quad (a free host
             reshape restores plain quad order).
     """
-    tp = _round8(t2 + 2)
     x = xq_ref[0]
 
-    acc = jnp.zeros((nqc, t2, 256), jnp.float32)
-    for a in range(3):  # row taps: output row r reads padded rows r + a
-        for wq in range(2):  # window quads g, g + 1
-            za = jnp.dot(
-                x[wq : wq + nqc].reshape(nqc * tp, 128),
-                w_ref[0, a, wq],
-                preferred_element_type=jnp.float32,
-            ).reshape(nqc, tp, 256)
-            acc = acc + za[:, a : a + t2]
+    # Pre-shift the INPUT once per row tap (bf16, 3 small relayouts)
+    # instead of sublane-slicing each f32 matmul result (round-3 profiling
+    # put those misaligned output slices at ~3x the kernels' matmul floor).
+    ops = [x[:, a : a + t2] for a in range(3)]
 
-    skip = acc + epi_ref[0, 0:1]
-    actv = _act_f32(epi_ref[0, 1:2] * skip + epi_ref[0, 2:3], act)
-    # 256 output lanes = the (2m, 2m+1) output quad pair; store each half.
-    skip_ref[0, :, 0] = skip[..., :128].astype(skip_ref.dtype)
-    skip_ref[0, :, 1] = skip[..., 128:].astype(skip_ref.dtype)
-    act_ref[0, :, 0] = actv[..., :128].astype(act_ref.dtype)
-    act_ref[0, :, 1] = actv[..., 128:].astype(act_ref.dtype)
+    # Split-N second window quad: quad g+1's columns only feed output col
+    # phases p >= 14 (window col p + l >= 16), i.e. the upper 128 output
+    # lanes -- its full-width weight block is ~94% zeros, so it runs as an
+    # N = 128 matmul into the upper half (25% FLOP cut for the layer).
+    acc_lo = jnp.zeros((nqc, t2, 128), jnp.float32)
+    acc_hi = jnp.zeros((nqc, t2, 128), jnp.float32)
+    for a in range(3):  # row taps: output row r reads padded rows r + a
+        za0 = jnp.dot(
+            ops[a][0:nqc].reshape(nqc * t2, 128),
+            w_ref[0, a],
+            preferred_element_type=jnp.float32,
+        ).reshape(nqc, t2, 256)
+        za1 = jnp.dot(
+            ops[a][1 : nqc + 1].reshape(nqc * t2, 128),
+            w1_ref[0, a],
+            preferred_element_type=jnp.float32,
+        ).reshape(nqc, t2, 128)
+        acc_lo = acc_lo + za0[..., :128]
+        acc_hi = acc_hi + za0[..., 128:] + za1
+
+    for half, acc in ((0, acc_lo), (1, acc_hi)):
+        skip = acc + epi_ref[0, 0:1, 128 * half : 128 * half + 128]
+        actv = _act_f32(
+            epi_ref[0, 1:2, 128 * half : 128 * half + 128] * skip
+            + epi_ref[0, 2:3, 128 * half : 128 * half + 128],
+            act,
+        )
+        # 256 output lanes = the (2m, 2m+1) output quad pair.
+        skip_ref[0, :, half] = skip.astype(skip_ref.dtype)
+        act_ref[0, :, half] = actv.astype(act_ref.dtype)
 
 
 # (row tap k) -> (parity plane: 0 even / 1 odd, row offset on the plane).
@@ -235,16 +259,24 @@ def _s2_kernel(xq_ref, w_ref, epi_ref, skip_ref, act_ref,
     # Parity fold: row pair (2j, 2j+1) -> lanes [0:128), [128:256) of row j.
     xf = xq_ref[0].reshape(nqc + 2, tp, 256)
 
+    # Pre-shift the input once per distinct (parity, row offset) -- five
+    # small bf16 relayouts -- so every matmul result accumulates aligned
+    # (the round-3 per-matmul f32 output slices cost ~3x the matmul floor).
+    ops = {}
+    for _, parity, off in _S2_TAPS:
+        if (parity, off) not in ops:
+            plane = xf[..., 128:] if parity else xf[..., :128]
+            ops[(parity, off)] = plane[:, off : off + t2]
+
     acc = jnp.zeros((nqc, t2, 128), jnp.float32)
     for k, parity, off in _S2_TAPS:
-        plane = xf[..., 128:] if parity else xf[..., :128]
+        x_op = ops[(parity, off)]
         for wq in range(3):  # window quads m - 1, m, m + 1 (padded: m..m+2)
-            za = jnp.dot(
-                plane[wq : wq + nqc].reshape(nqc * tp, 128),
+            acc = acc + jnp.dot(
+                x_op[wq : wq + nqc].reshape(nqc * t2, 128),
                 w_ref[0, k, wq],
                 preferred_element_type=jnp.float32,
-            ).reshape(nqc, tp, 128)
-            acc = acc + za[:, off : off + t2]
+            ).reshape(nqc, t2, 128)
 
     skip = acc + epi_ref[0, 0:1]
     actv = _act_f32(epi_ref[0, 1:2] * skip + epi_ref[0, 2:3], act)
@@ -266,10 +298,14 @@ def _chunk(nq: int, quad_rows: int, t_in: int) -> int:
 
 
 def _enc1_call(xq, w, epi, *, t2, bper, act, dtype):
-    """xq (B, nq+1, round8(t2+2), 128) -> (skip, act) (S*B, 2*nq, t2, 128)."""
+    """xq (B, nq+1, round8(t2+2), 128) -> (skip, act) (S*B, 2*nq, t2, 128).
+
+    `w` is the (w0, w1) pair from _pack_w_enc1 (leading stem axis each).
+    """
+    w0, w1 = w
     _, nq1, tdma, _ = xq.shape
     nq = nq1 - 1
-    sb = w.shape[0] * bper
+    sb = w0.shape[0] * bper
     nqc = _chunk(nq, MAX_QUAD_ROWS_ENC1, t2)
     nf = nq // nqc
 
@@ -291,7 +327,11 @@ def _enc1_call(xq, w, epi, *, t2, bper, act, dtype):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3, 2, 128, 256), lambda b, f: (b // bper, 0, 0, 0, 0),
+                (1, 3, 128, 256), lambda b, f: (b // bper, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, 128, 128), lambda b, f: (b // bper, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -300,7 +340,7 @@ def _enc1_call(xq, w, epi, *, t2, bper, act, dtype):
             ),
         ],
         out_specs=(out_spec, out_spec),
-    )(xq, w, epi)
+    )(xq, w0, w1, epi)
     return (
         skip.reshape(sb, 2 * nq, t2, 128),
         actv.reshape(sb, 2 * nq, t2, 128),
