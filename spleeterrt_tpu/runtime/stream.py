@@ -63,23 +63,36 @@ N_BINS = FFT_SIZE // 2 + 1
 RT_OUT_BAND = (0.25, 0.0, 0.25, 0.25)  # drums, bass, accompaniment, vocals
 
 
-def asymmetric_windows() -> tuple[np.ndarray, np.ndarray]:
+def asymmetric_windows(
+    freq_temporal: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
     """(analysis[FFT_SIZE], synthesis_eff[SYNTH_LEN]).
 
     Port of the construction at VST/Source/Spleeter4Stems.c:383-401 with
-    freq_temporal = 1.0, k = FFT_SIZE, m = OVP_SIZE. `synthesis_eff[j]`
-    multiplies frame sample SAMPLE_SHIFT + j (the pre-shift is folded in).
+    k = FFT_SIZE, m = OVP_SIZE. `synthesis_eff[j]` multiplies frame sample
+    SAMPLE_SHIFT + j (the pre-shift is folded in).
+
+    `freq_temporal` is the reference's frequency-vs-temporal-resolution
+    exponent (the README's "even shorter intrinsical latency" knob): > 1
+    sharpens the analysis window's recent-samples emphasis (better
+    temporal locality, coarser spectrum), < 1 the reverse. The reference
+    clamps the exponent to 2.0 for the rising tail section
+    (Spleeter4Stems.c:391-394), and the synthesis window divides by the
+    analysis window, so perfect COLA reconstruction holds for every value.
     """
     k, m = FFT_SIZE, OVP_SIZE
     wa = np.zeros(k)
     n1 = 2 * (k - m) + 2
     i = np.arange(k - m)
-    wa[: k - m] = 0.5 * (1.0 - np.cos(2.0 * np.pi * (i + 1.0) / n1))
+    wa[: k - m] = (
+        0.5 * (1.0 - np.cos(2.0 * np.pi * (i + 1.0) / n1))
+    ) ** freq_temporal
+    ft2 = min(freq_temporal, 2.0)  # Spleeter4Stems.c:391-392
     n2 = 2 * m + 2
     j = np.arange(k - m, k)
     wa[k - m :] = np.sqrt(
         0.5 * (1.0 - np.cos(2.0 * np.pi * ((m + j - (k - m)) + 1.0) / n2))
-    )
+    ) ** ft2
     n3 = 2 * m
     ws = np.zeros(k)
     i = np.arange(k - 2 * m, k)
@@ -128,7 +141,8 @@ def init_state_streams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
+    jax.jit,
+    static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
 )
 def block_step_streams(
     stacked_params: Params,
@@ -138,6 +152,7 @@ def block_step_streams(
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
     pallas: bool = True,
+    freq_temporal: float = 1.0,
 ):
     """One timeStep block of K concurrent independent streams.
 
@@ -150,7 +165,7 @@ def block_step_streams(
     """
     t = cfg.time_step
     k_streams = block_in.shape[0]
-    wa, ws = asymmetric_windows()
+    wa, ws = asymmetric_windows(freq_temporal)
     wa = jnp.asarray(wa, jnp.float32)
     ws = jnp.asarray(ws, jnp.float32)
 
@@ -205,7 +220,8 @@ def block_step_streams(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
+    jax.jit,
+    static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
 )
 def block_step(
     stacked_params: Params,
@@ -215,6 +231,7 @@ def block_step(
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
     pallas: bool = True,
+    freq_temporal: float = 1.0,
 ):
     """One timeStep block: returns (new_state, out_block (S, 2, T * HOP)).
 
@@ -224,13 +241,15 @@ def block_step(
     """
     state1 = jax.tree.map(lambda a: a[None], state)
     new_state, out = block_step_streams(
-        stacked_params, state1, block_in[None], cfg, n_stems, out_band, pallas
+        stacked_params, state1, block_in[None], cfg, n_stems, out_band,
+        pallas, freq_temporal,
     )
     return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stems", "out_band", "pallas")
+    jax.jit,
+    static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
 )
 def stream_scan(
     stacked_params: Params,
@@ -239,6 +258,7 @@ def stream_scan(
     n_stems: int = 4,
     out_band: tuple[float, ...] = RT_OUT_BAND,
     pallas: bool = True,
+    freq_temporal: float = 1.0,
 ):
     """Run the whole signal through the streaming engine with lax.scan.
 
@@ -254,7 +274,8 @@ def stream_scan(
 
     def step(state, block_in):
         return block_step(
-            stacked_params, state, block_in, cfg, n_stems, out_band, pallas
+            stacked_params, state, block_in, cfg, n_stems, out_band, pallas,
+            freq_temporal,
         )
 
     state = init_state(cfg, n_stems)
@@ -275,11 +296,13 @@ class StreamingSeparator:
         cfg: SeparatorConfig,
         n_stems: int = 4,
         out_band: tuple[float, ...] = RT_OUT_BAND,
+        freq_temporal: float = 1.0,
     ):
         self.params = stacked_params
         self.cfg = cfg
         self.n_stems = n_stems
         self.out_band = out_band
+        self.freq_temporal = freq_temporal
         self.state = init_state(cfg, n_stems)
         self.block_len = cfg.time_step * HOP
         self._in_buf = np.zeros((2, 0), np.float32)
@@ -306,6 +329,7 @@ class StreamingSeparator:
                 self.state, out_block = block_step(
                     self.params, self.state, block, self.cfg,
                     self.n_stems, self.out_band,
+                    freq_temporal=self.freq_temporal,
                 )
                 self._out_buf = np.asarray(out_block)
                 self._out_pos = 0

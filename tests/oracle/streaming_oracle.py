@@ -21,18 +21,20 @@ SAMPLESHIFT = FFTSIZE - 2 * OVPSIZE
 HALFWNDLEN = FFTSIZE // 2 + 1
 
 
-def asymmetric_windows():
-    """Port of getAsymmetricWindow (Spleeter4Stems.c:383-401), freq=1.0."""
+def asymmetric_windows(freq_temporal: float = 1.0):
+    """Port of getAsymmetricWindow (Spleeter4Stems.c:383-401), incl. the
+    freq_temporal exponent with its 2.0 clamp on the rising tail."""
     k, m = FFTSIZE, OVPSIZE
     wa = np.zeros(k)
     n = 2 * (k - m) + 2
     for i in range(k - m):
-        wa[i] = 0.5 * (1.0 - np.cos(2.0 * np.pi * (i + 1.0) / n))
+        wa[i] = (0.5 * (1.0 - np.cos(2.0 * np.pi * (i + 1.0) / n))) ** freq_temporal
+    ft = min(freq_temporal, 2.0)
     n = 2 * m + 2
     for i in range(k - m, k):
         wa[i] = np.sqrt(
             0.5 * (1.0 - np.cos(2.0 * np.pi * ((m + i - (k - m)) + 1.0) / n))
-        )
+        ) ** ft
     n = 2 * m
     ws = np.zeros(k)
     for i in range(k - 2 * m, k):
@@ -50,10 +52,11 @@ def stream_oracle(
     bin_limit: int,
     time_step: int,
     out_band: tuple[float, ...],
+    freq_temporal: float = 1.0,
 ):
     """Returns (S, 2, n) streaming output, matching the C engine hop cadence."""
     n_stems = len(fields_list)
-    wa, ws = asymmetric_windows()
+    wa, ws = asymmetric_windows(freq_temporal)
     wa_scaled = wa * (1.0 / FFTSIZE) * 0.5  # Spleeter4Stems.c:415-416
 
     n = audio.shape[-1]

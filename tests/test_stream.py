@@ -151,3 +151,38 @@ def test_block_step_streams_matches_independent(rng):
                 stacked, state, blocks[i, s], CFG, 2, OUT_BAND
             )
             np.testing.assert_array_equal(outs_k[i][s], np.asarray(out))
+
+
+def test_stream_low_latency_window_matches_oracle(rng):
+    """freq_temporal != 1 (the reference's latency/resolution knob,
+    Spleeter4Stems.c:383-401) stays hop-exact vs the oracle, including the
+    2.0 clamp on the rising-tail exponent."""
+    stacked, fields = _setup(rng)
+    n = 2 * CFG.time_step * 1024
+    t = np.arange(n) / 44100.0
+    x = (
+        0.3 * np.sin(2 * np.pi * 440 * t) + 0.1 * rng.standard_normal(n)
+    ).astype(np.float32)
+    audio = np.stack([x, 0.7 * x])
+    for ft in (1.5, 3.0):  # 3.0 exercises the clamp
+        got = np.asarray(
+            stream.stream_scan(
+                stacked, jnp.asarray(audio), CFG, 2, OUT_BAND,
+                freq_temporal=ft,
+            )
+        )
+        ref = streaming_oracle.stream_oracle(
+            fields, audio.astype(np.float64), CFG.bin_limit, CFG.time_step,
+            OUT_BAND, freq_temporal=ft,
+        )
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_low_latency_window_cola():
+    """Analysis x synthesis windows keep unity overlap-add at any exponent."""
+    for ft in (0.5, 1.0, 1.7, 3.0):
+        wa, ws = stream.asymmetric_windows(ft)
+        prod = wa[stream.SAMPLE_SHIFT :] * ws  # active synthesis region
+        # COLA over the 2 contributing hops of the 2*HOP active region.
+        s = prod[: stream.HOP] + prod[stream.HOP :]
+        np.testing.assert_allclose(s, np.ones(stream.HOP), atol=1e-9)
