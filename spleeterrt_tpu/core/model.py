@@ -448,18 +448,20 @@ def _mid_trunk_xla(
     return x
 
 
-def _packed_unet(
+def _packed_unet_core(
     stacked_params: Params,
     magnitude: jax.Array,  # (B, T, F, 2), shared across stems
     stem_mode: int,
     compute_dtype,
 ) -> jax.Array:
-    """Fully packed multi-stem forward -> (S, B, T, F, 2) masks.
+    """Packed multi-stem forward -> the head's PACKED mask output
+    (S*B, F/32 groups, T/2, 128); unpack with tail.unpack_mask (NHWC) or
+    tail.unpack_mask_cd (the fused iSTFT's [c, d] layout, free).
 
     Dataflow (reference semantics Executable/spleeter.c:177-301):
     Pallas enc1-4 (quad-packed, skips stay packed) -> XLA enc5..up3 on the
     small deep tensors -> Pallas up4/up5 (split-K concats, packed) ->
-    Pallas head -> one unpack transpose of the finished masks.
+    Pallas head.
     """
     from spleeterrt_tpu.kernels import encoder, tail
 
@@ -505,14 +507,54 @@ def _packed_unet(
     )
 
     ly6, ly7 = stacked_params["up6"], stacked_params["up7"]
-    masks_packed = tail.head_packed(
+    return tail.head_packed(
         tail.pad_pk_head(s1pk), tail.pad_pk_head(up5pk),
         ly6["w"], ly6["b"], ly6["bn_scale"], ly6["bn_shift"],
         ly7["w"], ly7["b"],
         t2=t // 2, act=dec_act, compute_dtype=dt,
     )
+
+
+def _packed_unet(
+    stacked_params: Params,
+    magnitude: jax.Array,
+    stem_mode: int,
+    compute_dtype,
+) -> jax.Array:
+    """Fully packed multi-stem forward -> (S, B, T, F, 2) NHWC masks."""
+    from spleeterrt_tpu.kernels import tail
+
+    s = jax.tree.leaves(stacked_params)[0].shape[0]
+    b, t, f, _ = magnitude.shape
+    masks_packed = _packed_unet_core(
+        stacked_params, magnitude, stem_mode, compute_dtype
+    )
     masks = tail.unpack_mask(masks_packed, t // 2, f // 2)
     return masks.reshape(s, b, t, f, 2)
+
+
+def multi_stem_masks_cd(
+    stacked_params: Params,
+    magnitude: jax.Array,  # (B, T, F, 2), shared across stems
+    stem_mode: int = STEM_MODE_4,
+    compute_dtype=jnp.bfloat16,
+    sigmoid: str = "exact",
+) -> jax.Array | None:
+    """Masks in the fused iSTFT's [c, d] layout, or None when the packed
+    U-Net path does not apply (caller falls back to NHWC masks + one host
+    transpose). Returns (S, 2ch, B*T frames, 64, 32) with c + 64 d = bin
+    (kernels/stft_fused.masked_istft4096_cd's mask contract); the tile
+    batch B must be the track's time-ordered tile sequence."""
+    from spleeterrt_tpu.kernels import tail
+
+    if not _use_packed_unet(stacked_params, magnitude, sigmoid):
+        return None
+    s = jax.tree.leaves(stacked_params)[0].shape[0]
+    b, t, f, _ = magnitude.shape
+    masks_packed = _packed_unet_core(
+        stacked_params, magnitude, stem_mode, compute_dtype
+    )
+    return tail.unpack_mask_cd(masks_packed, s, t // 2, f // 2)
 
 
 def _multi_stem_trunk(

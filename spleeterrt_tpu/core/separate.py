@@ -136,16 +136,28 @@ def separate_2stem(
         tiles = mag.reshape(2, nt, cfg.time_step, cfg.bin_limit).transpose(
             1, 2, 3, 0
         )
-        masks = unet_forward(
-            params, tiles, STEM_MODE_2, cfg.compute_dtype, cfg.sigmoid
+        from spleeterrt_tpu.core import model as model_mod
+
+        stacked1 = jax.tree.map(lambda a: a[None], params)
+        masks_cd = model_mod.multi_stem_masks_cd(
+            stacked1, tiles, STEM_MODE_2, cfg.compute_dtype, cfg.sigmoid
         )
-        masks_cf = masks.transpose(3, 0, 1, 2).reshape(
-            1, 2, n_req, cfg.bin_limit
-        )
-        vocal = stft_fused.masked_istft4096_packed(
-            s_r, s_i, masks_cf, jnp.asarray([cfg.unaffected_weight]),
-            cfg.bin_limit, transform.synthesis_window(tcfg), n_out,
-        )[0]
+        if masks_cd is not None:
+            vocal = stft_fused.masked_istft4096_cd(
+                s_r, s_i, masks_cd, jnp.asarray([cfg.unaffected_weight]),
+                cfg.bin_limit, transform.synthesis_window(tcfg), n_out,
+            )[0]
+        else:
+            masks = unet_forward(
+                params, tiles, STEM_MODE_2, cfg.compute_dtype, cfg.sigmoid
+            )
+            masks_cf = masks.transpose(3, 0, 1, 2).reshape(
+                1, 2, n_req, cfg.bin_limit
+            )
+            vocal = stft_fused.masked_istft4096_packed(
+                s_r, s_i, masks_cf, jnp.asarray([cfg.unaffected_weight]),
+                cfg.bin_limit, transform.synthesis_window(tcfg), n_out,
+            )[0]
     else:
         spec = transform.stft(audio, cfg.transform, data_size)
         masks = compute_masks(params, spec, cfg, STEM_MODE_2, pallas)
@@ -217,6 +229,18 @@ def _separate_nstem_fused(
     tiles = mag.reshape(2, nt, cfg.time_step, cfg.bin_limit).transpose(
         1, 2, 3, 0
     )
+    from spleeterrt_tpu.core import model as model_mod
+
+    masks_cd = model_mod.multi_stem_masks_cd(
+        stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+    )
+    if masks_cd is not None:
+        # Packed U-Net head -> the iSTFT's [c, d] mask layout directly
+        # (the bin-ordered mask tensor never exists in HBM).
+        return stft_fused.masked_istft4096_cd(
+            s_r, s_i, masks_cd, jnp.asarray(out_band), cfg.bin_limit,
+            transform.synthesis_window(tcfg), n_out,
+        )
     masks = multi_stem_forward(
         stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
     )  # (S, nt, T, F, 2)
@@ -333,19 +357,36 @@ def separate_nstem_batch(
         .transpose(0, 2, 3, 4, 1)
         .reshape(b * nt, t, f, rows)
     )
-    masks = multi_stem_forward(
+    from spleeterrt_tpu.core import model as model_mod
+
+    masks_cd = model_mod.multi_stem_masks_cd(
         stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
-    )  # (S, B*nt, T, F, 2)
-    s = masks.shape[0]
-    masks_cf = (
-        masks.reshape(s, b, nt, t, f, rows)
-        .transpose(0, 1, 5, 2, 3, 4)
-        .reshape(s, b * rows, n_req, f)
     )
-    audio_out = stft_fused.masked_istft4096_packed(
-        s_r, s_i, masks_cf, jnp.asarray(out_band), f,
-        transform.synthesis_window(tcfg), n_out,
-    )  # (S, B*2, out_len)
+    if masks_cd is not None:
+        s = masks_cd.shape[0]
+        masks_cd = (
+            masks_cd.reshape(s, rows, b, n_req, 64, 32)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(s, b * rows, n_req, 64, 32)
+        )
+        audio_out = stft_fused.masked_istft4096_cd(
+            s_r, s_i, masks_cd, jnp.asarray(out_band), f,
+            transform.synthesis_window(tcfg), n_out,
+        )
+    else:
+        masks = multi_stem_forward(
+            stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+        )  # (S, B*nt, T, F, 2)
+        s = masks.shape[0]
+        masks_cf = (
+            masks.reshape(s, b, nt, t, f, rows)
+            .transpose(0, 1, 5, 2, 3, 4)
+            .reshape(s, b * rows, n_req, f)
+        )
+        audio_out = stft_fused.masked_istft4096_packed(
+            s_r, s_i, masks_cf, jnp.asarray(out_band), f,
+            transform.synthesis_window(tcfg), n_out,
+        )  # (S, B*2, out_len)
     out_len = audio_out.shape[-1]
     return audio_out.reshape(s, b, rows, out_len).transpose(1, 0, 2, 3)
 

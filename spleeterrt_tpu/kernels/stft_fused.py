@@ -1,29 +1,38 @@
 """Pallas TPU kernels: fused forward STFT and fused masked iSTFT-to-audio.
 
-Round-3 profiling (docs/PERF.md) put the transform side of the offline
-pipeline at ~74 ms of the 209 ms 300-second 4-stem separation -- ~2.5x its
-HBM roofline -- because (a) the forward path materializes the 75%-redundant
-frame matrix in HBM (framing + window + per-stage matmul round trips), (b)
-the masked inverse kernel (kernels/pallas_fft.py) re-reads the full complex
-spectrogram once PER STEM and pays a host-side scale/pad prep pass, and (c)
-overlap-add re-reads the 1.7 GB frame tensor the inverse kernel wrote.
+Round-3 put the transform chain at its HBM roofline for *traffic*, but
+round-4 profiling showed both kernels running far above their compute
+floor: every (frame-block, stem) step paid 4-6 in-VMEM `swapaxes`
+relayouts (~1 MB each) to feed the matmul FFT stages -- ~16 GB of VMEM
+relayout traffic per 300 s separation, ~25 ms of the ~40 ms chain.
 
-These two kernels reduce the chain to its roofline:
+This version restructures the two-stage 64x64 matmul FFT so that every
+stage's contraction dimension already sits on the operand's lane axis (or
+belongs to a static table used as the matmul LHS) -- ZERO data transposes
+inside either kernel:
 
-- `stft4096_packed`: audio is DMA'd once per 32-frame block (the
-  4096-sample window overlap is served from VMEM), windowed, and
-  transformed by the 64x64 matmul FFT (kernels/fastfft.py formulation,
-  fp32 MXU matmuls), writing the spectrum directly in the [d, c] packed
-  layout (bin k = c + 64 d) the inverse kernel consumes. HBM traffic: read
-  the audio once, write the spectrum once.
-- `masked_istft4096_packed`: per (channel row, frame block) grid step the
-  packed spectrum block is loaded ONCE and all S stems' mask multiply +
-  inverse FFT + synthesis window + overlap-add run in VMEM; the
-  (2/N, DC/Nyquist, >Nyquist-zero) scale chain is folded into constant
-  [d, c] tables, and overlap-add uses a 3072-sample VMEM carry across the
-  (sequential) grid steps, so the kernel writes finished AUDIO -- the
-  per-stem frame tensor never exists. A final all-zero flush step per row
-  drains the carry.
+- The packed spectrum is stored [c, d] (bin k = c + 64*d; c on sublanes,
+  d on lanes; the d >= 33 lanes hold the conjugate-half bins no consumer
+  reads).
+- Forward: stage 1 contracts the frame-sample axis with a STATIC packed
+  table as the matmul LHS (output rows = c); the twiddle is elementwise in
+  [c, b]; stage 2 contracts b -- the running operand's lane axis (natural
+  LHS form) -- and lands directly in [c, d].
+- Inverse: the mask multiply runs in compact [c, d < 32] (masks are
+  provided as (S, rows, frames, 64, 32) -- the packed U-Net head emits
+  this layout for free via kernels/tail.py::unpack_mask_cd, and
+  `masks_flat_to_cd` adapts canonical producers with one host transpose).
+  Stage 1 contracts d as three K = 32 matmuls (real/imag low halves plus
+  the d >= 32 half that only carries Nyquist through its scale table),
+  with the complex packing moved to the N axis so no operand concat is
+  needed; stage 2 contracts c with a static packed LHS and lands in
+  row-major [a, b] time order for the windowed overlap-add.
+
+The OLA uses the same 3072-sample VMEM carry across sequential grid steps
+as round 3, so the kernel still writes finished AUDIO; per-stem frame
+tensors never exist in HBM. Both kernels fetch their inputs through
+Element-indexed BlockSpecs (kernels/blockspec.py), so the Pallas pipeline
+double-buffers the overlapping audio windows.
 
 Reference semantics: the offline stft/istft drivers
 (Executable/stftFix.c:363-579, window chain per core/transform.py) and the
@@ -42,8 +51,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spleeterrt_tpu.kernels.blockspec import element_window
+
 N = 4096
 R = 64
+D_LO = 32  # mask d-lanes: k = c + 64 d < 2048 in-band rows
 N_BINS = N // 2 + 1
 HOP = 1024  # the reference's only hop (Executable/stftFix.h:14-18)
 FB = 32  # frames per grid step
@@ -52,26 +64,40 @@ CHUNK_ROWS = HOP // R  # 16 rows of 64 samples per hop chunk
 TAIL_ROWS = (LAP - 1) * CHUNK_ROWS  # 48 rows = 3072 carried samples
 
 
+def _shared_lhs_matmul(table: jax.Array, x: jax.Array) -> jax.Array:
+    """out[f, r, n] = sum_k table[r, k] * x[f, k, n] with a STATIC lhs --
+    the one batched-matmul shape the zero-transpose chain needs."""
+    return jnp.einsum(
+        "rk,fkn->frn", table, x, preferred_element_type=jnp.float32
+    )
+
+
 @functools.cache
 def _fwd_tables():
-    """Forward 4096-pt FFT matmul tables (fastfft.py formulation).
+    """Forward tables for the transpose-free chain.
 
-    Stage 1 (real input): the kernel holds frames as (32, 128) rows of 128
-    samples (the HBM DMA tiling), i.e. the [a, b] matrix with even a in
-    lanes [0, 64) and odd a in [64, 128); the contraction over a becomes
-    one K = 64 matmul against E64's rows in (even, odd) interleave order.
-    Stage 2: one complex-packed (128, 128) matmul [[er, ei], [-ei, er]].
+    e1e/e1o: (128, 32) static LHS for stage 1 -- rows [c_real; c_imag],
+    columns the even/odd sample-pair index a//2 (the DMA'd frame rows hold
+    even a in lanes [0:64) and odd a in [64:128)).
+    tr/ti: (64, 64) twiddle exp(-2pi i c b / N)[c, b] (symmetric).
+    w2: (128, 128) stage-2 packed complex rhs [[er, ei], [-ei, er]] over
+    (b_r; b_i) -> (d_r | d_i).
     """
     i = np.arange(R)
-    e64 = np.exp(-2j * np.pi * np.outer(i, i) / R)
-    tw = np.exp(-2j * np.pi * np.outer(i, i) / N)  # T[b, c]
-    er = np.asarray(e64.real, np.float32)
-    ei = np.asarray(e64.imag, np.float32)
-    e1r = np.concatenate([er[0::2], er[1::2]], axis=0)  # (64, 64), a-parity
-    e1i = np.concatenate([ei[0::2], ei[1::2]], axis=0)
+    e64 = np.exp(-2j * np.pi * np.outer(i, i) / R)  # symmetric
+    tw = np.exp(-2j * np.pi * np.outer(i, i) / N)
+    er = np.asarray(e64.real, np.float64)
+    ei = np.asarray(e64.imag, np.float64)
+
+    def pack_lhs(par):
+        cols = e64[par::2, :]  # (32 a-idx, 64 c)
+        return np.concatenate(
+            [cols.real.T, cols.imag.T], axis=0
+        ).astype(np.float32)  # (128 rows = [c_r; c_i], 32 a-idx)
+
     w2 = np.block([[er, ei], [-ei, er]]).astype(np.float32)
     return (
-        e1r.astype(np.float32), e1i.astype(np.float32),
+        pack_lhs(0), pack_lhs(1),
         np.asarray(tw.real, np.float32), np.asarray(tw.imag, np.float32),
         w2,
     )
@@ -79,101 +105,109 @@ def _fwd_tables():
 
 @functools.cache
 def _inv_tables():
-    """Inverse tables: synthesis form out[n] = Re sum_k w_k X_k e^{+2pi ikn/N}
-    (see kernels/pallas_fft.py); both stages complex-packed on K."""
+    """Inverse tables.
+
+    w1r_lo/w1i_lo: (32, 128) stage-1 rhs for d < 32: N = [b_r | b_i]
+    (complex packing on the OUTPUT axis, so the real/imag operands never
+    concatenate). w1r_hi: same for d in [32, 64) -- only Nyquist (d = 32)
+    survives its scale table, and its imag is dropped like jnp.fft.irfft.
+    tr/ti: (64, 64) twiddle exp(+2pi i c b / N)[c, b].
+    e2t: (64, 128) stage-2 static LHS: out[a, b] = Re sum_c E[c, a] w[c, b]
+    -> lhs[a, 0:64) = cos(2pi a c / 64), lhs[a, 64:) = -sin(...).
+    """
     i = np.arange(R)
     e64 = np.exp(2j * np.pi * np.outer(i, i) / R)
     tw = np.exp(2j * np.pi * np.outer(i, i) / N)
-    er = np.asarray(e64.real, np.float32)
-    ei = np.asarray(e64.imag, np.float32)
-    w1 = np.block([[er, ei], [-ei, er]]).astype(np.float32)  # (128, 128)
-    w2 = np.concatenate([er, -ei], axis=0).astype(np.float32)  # (128, 64)
+
+    def pack_rhs(rows, sign_i=1.0):
+        return np.concatenate(
+            [sign_i * rows.real, sign_i * rows.imag], axis=1
+        ).astype(np.float32)
+
+    e_lo = e64[:D_LO]
+    e_hi = e64[D_LO:]
+    w1r_lo = pack_rhs(e_lo)
+    w1i_lo = np.concatenate(
+        [-e_lo.imag, e_lo.real], axis=1
+    ).astype(np.float32)
+    w1r_hi = pack_rhs(e_hi)
+    e2t = np.concatenate(
+        [e64.real.T, -e64.imag.T], axis=1
+    ).astype(np.float32)  # (64 a, 128 [c_r | c_i])
     return (
-        w1, w2,
+        w1r_lo, w1i_lo, w1r_hi,
         np.asarray(tw.real, np.float32), np.asarray(tw.imag, np.float32),
+        e2t,
     )
 
 
 @functools.cache
-def _scale_tables(mask_rows: int):
-    """(64, 64) [d, c] tables folding the inverse scale chain.
+def _scale_tables(bin_limit: int):
+    """[c, d] f32 tables folding the inverse scale chain.
 
-    real: 2/N for k <= 2048 (1/N at DC and Nyquist), 0 above Nyquist.
-    imag: same with DC/Nyquist zeroed (jnp.fft.irfft ignores their imag).
-    band: 1.0 on bins < mask_rows*64 (the masked band), 0 outside -- used
-    to blend `mask` vs the scalar out-of-band weight.
+    sr_lo/si_lo: (64, 32): 2/N on k < 2048 (1/N at DC, DC imag zeroed).
+    sr_hi: (64, 32) for d in [32, 64): zero everywhere except Nyquist
+    (c = 0, d = 32) at 1/N (its imag is dropped entirely).
+    band: (64, 32) 1.0 on bins < bin_limit.
     """
-    d = np.arange(R)[:, None]
-    c = np.arange(R)[None, :]
+    c = np.arange(R)[:, None]
+    d = np.arange(D_LO)[None, :]
     k = c + 64 * d
-    sr = np.where(k <= N // 2, 2.0 / N, 0.0)
-    sr = np.where((k == 0) | (k == N // 2), 1.0 / N, sr)
-    si = np.where((k == 0) | (k == N // 2), 0.0, sr)
-    band = (k < mask_rows * R).astype(np.float32)
+    sr_lo = np.full(k.shape, 2.0 / N)
+    sr_lo[0, 0] = 1.0 / N
+    si_lo = sr_lo.copy()
+    si_lo[0, 0] = 0.0
+    sr_hi = np.zeros(k.shape)
+    sr_hi[0, 0] = 1.0 / N  # k = 2048 (Nyquist)
+    band = (k < bin_limit).astype(np.float32)
     return (
-        sr.astype(np.float32), si.astype(np.float32), band,
+        sr_lo.astype(np.float32), si_lo.astype(np.float32),
+        sr_hi.astype(np.float32), band,
     )
 
 
 # ---------------------------------------------------------------------------
-# Forward: audio -> packed spectrum [d, c]
+# Forward: audio -> [c, d] packed spectrum
 # ---------------------------------------------------------------------------
 
 
-def _stft_kernel(x_hbm, win_ref, e1r_ref, e1i_ref, tr_ref, ti_ref, w2_ref,
-                 or_ref, oi_ref, xbuf, sem, *, n_comp: int):
+def _stft_kernel(x_ref, win_ref, e1e_ref, e1o_ref, tr_ref, ti_ref, w2_ref,
+                 or_ref, oi_ref, *, n_comp: int):
     """One (row, frame-block) step: 32 frames' window + forward FFT.
 
-    x_hbm: (rows, M, 128) audio in HBM (Mosaic DMA slices need 128-lane
-    rows); frame f = rows [8f, 8f + 32), i.e. sample n = 64 a + b sits at
-    row a//2, lane 64*(a%2) + b.
-    or/oi: (1, FB, 64, 64) spectrum block, [d, c] layout (k = c + 64 d).
+    x_ref: (1, (FB+3)*8, 128) audio rows (sample n = 64 a + b at row a//2,
+    lane 64*(a%2) + b), Element-fetched with a 3-hop overlap.
+    or/oi: (1, FB, 64, 64) spectrum block, [c, d] layout (k = c + 64 d).
     """
-    r = pl.program_id(0)
     b = pl.program_id(1)
     rows_hop = HOP // 128  # 8
-    dma = pltpu.make_async_copy(
-        x_hbm.at[
-            r, pl.ds(b * FB * rows_hop, (FB + LAP - 1) * rows_hop)
-        ],
-        xbuf, sem,
-    )
-    dma.start()
-    dma.wait()
-    groups = xbuf[:].reshape(FB + LAP - 1, rows_hop, 2 * R)
+    groups = x_ref[0].reshape(FB + LAP - 1, rows_hop, 2 * R)
     # frames[f] = audio rows [8 f, 8 f + 32): four leading-axis slices.
     frames = jnp.concatenate(
         [groups[c : c + FB] for c in range(LAP)], axis=1
     )  # (FB, 32, 128): [a-pair, b | b+64]
     frames = frames * win_ref[:].reshape(1, N // (2 * R), 2 * R)
 
-    # Stage 1 over a: Y[b, c] = sum_a x[a, b] E64[a, c] (real input). The
-    # (32, 128) frame holds even a in lanes [0:64), odd a in [64:128); the
-    # two halves transpose to [b, a-parity] and contract against the
-    # parity-interleaved E64 rows in ONE K = 64 matmul per re/im.
-    xl = jnp.swapaxes(frames[..., :R], 1, 2)  # (FB, 64 b, 32 even-a)
-    xr = jnp.swapaxes(frames[..., R:], 1, 2)  # (FB, 64 b, 32 odd-a)
-    xt = jnp.concatenate([xl, xr], axis=-1).reshape(FB * R, R)
-    y_r = jnp.dot(xt, e1r_ref[:], preferred_element_type=jnp.float32)
-    y_i = jnp.dot(xt, e1i_ref[:], preferred_element_type=jnp.float32)
-    y_r = y_r.reshape(FB, R, R)  # [b, c]
-    y_i = y_i.reshape(FB, R, R)
-    z_r = y_r * tr_ref[:] - y_i * ti_ref[:]
-    z_i = y_r * ti_ref[:] + y_i * tr_ref[:]
-    # Stage 2 over b: X[c, d] = sum_b Z[b, c] E64[b, d], complex-packed K.
-    zt_r = jnp.swapaxes(z_r, 1, 2).reshape(FB * R, R)  # [f*c, b]
-    zt_i = jnp.swapaxes(z_i, 1, 2).reshape(FB * R, R)
-    x2 = jnp.concatenate([zt_r, zt_i], axis=-1)  # (FB*R, 128)
+    # Stage 1 over a (static packed LHS; even/odd sample-pair halves):
+    # z rows [0:64) = Re Y[c, b], [64:128) = Im.
+    z = _shared_lhs_matmul(
+        e1e_ref[:], frames[..., :R]
+    ) + _shared_lhs_matmul(e1o_ref[:], frames[..., R:])  # (FB, 128, 64)
+    z_r = z[:, :R]
+    z_i = z[:, R:]
+    w_r = z_r * tr_ref[:] - z_i * ti_ref[:]
+    w_i = z_r * ti_ref[:] + z_i * tr_ref[:]
+    # Stage 2 over b (natural LHS: b is the lane axis) -> [c, d_r | d_i].
+    x2 = jnp.concatenate([w_r, w_i], axis=-1).reshape(FB * R, 2 * R)
     o = jnp.dot(x2, w2_ref[:], preferred_element_type=jnp.float32)
-    o_r = jnp.swapaxes(o[:, :R].reshape(FB, R, R), 1, 2)  # [c,d] -> [d,c]
-    o_i = jnp.swapaxes(o[:, R:].reshape(FB, R, R), 1, 2)
+    o = o.reshape(FB, R, 2 * R)
     # Frames >= n_comp are zero (the reference computes rangeM/hop + 1
     # frames and leaves the rest zero, Executable/stftFix.c:377,460).
     valid = (
         b * FB + jax.lax.broadcasted_iota(jnp.int32, (FB, 1, 1), 0) < n_comp
     ).astype(jnp.float32)
-    or_ref[0] = o_r * valid
-    oi_ref[0] = o_i * valid
+    or_ref[0] = o[:, :, :R] * valid
+    oi_ref[0] = o[:, :, R:] * valid
 
 
 @functools.partial(jax.jit, static_argnames=("n_comp", "n_frames"))
@@ -183,12 +217,13 @@ def stft4096_packed(
     n_comp: int,
     n_frames: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (s_r, s_i): (rows, n_pad, 64, 64) fp32, [d, c] packed, where
-    n_pad = ceil(n_frames / 32) * 32 and frames >= n_comp are zero.
+    """-> (s_r, s_i): (rows, n_pad, 64, 64) fp32, [c, d] packed
+    (k = c + 64 d), where n_pad = ceil(n_frames / 32) * 32 and frames
+    >= n_comp are zero.
 
-    Equivalent to rfft(frame(audio) * window) with the upper half of the
-    4096-bin axis holding the conjugate bins (callers use k <= 2048 only;
-    the inverse kernel's scale table zeroes the rest).
+    Equivalent to rfft(frame(audio) * window) with the d >= 33 lanes
+    holding the conjugate bins (callers use k <= 2048 only; the inverse
+    kernel's scale tables zero the rest).
     """
     rows, data_size = audio.shape
     nblocks = -(-n_frames // FB)
@@ -196,8 +231,9 @@ def stft4096_packed(
     need = n_pad * HOP + (N - HOP)
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (0, need - data_size)))
     x = x.reshape(rows, need // (2 * R), 2 * R)
-    e1r, e1i, tr, ti, w2 = _fwd_tables()
+    e1e, e1o, tr, ti, w2 = _fwd_tables()
 
+    rows_hop = HOP // 128
     out_spec = pl.BlockSpec(
         (1, FB, R, R), lambda r, b: (r, b, 0, 0), memory_space=pltpu.VMEM
     )
@@ -212,58 +248,75 @@ def stft4096_packed(
         ),
         grid=(rows, nblocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # audio: DMA'd manually
-            tbl((N // (2 * R), 2 * R)),  # window, (32, 128) DMA-row layout
-            tbl((R, R)), tbl((R, R)),  # stage-1 E64 re/im (a-parity rows)
+            element_window(
+                (1, (FB + LAP - 1) * rows_hop, 2 * R),
+                lambda r, b: (r, b * FB * rows_hop, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tbl((N // (2 * R), 2 * R)),  # window, DMA-row layout
+            tbl((2 * R, D_LO)), tbl((2 * R, D_LO)),  # stage-1 packed LHS
             tbl((R, R)), tbl((R, R)),  # twiddle re/im
-            tbl((2 * R, 2 * R)),  # stage-2 packed
+            tbl((2 * R, 2 * R)),  # stage-2 packed rhs
         ],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[
-            pltpu.VMEM(((FB + LAP - 1) * HOP // 128, 2 * R), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(
         x, window.astype(jnp.float32).reshape(N // (2 * R), 2 * R),
-        jnp.asarray(e1r), jnp.asarray(e1i),
+        jnp.asarray(e1e), jnp.asarray(e1o),
         jnp.asarray(tr), jnp.asarray(ti), jnp.asarray(w2),
     )
     return s_r, s_i
 
 
 def packed_to_complex(s_r: jax.Array, s_i: jax.Array) -> jax.Array:
-    """(rows, n_pad, 64, 64) [d, c] -> (rows, n_pad, 2049) complex spectrum."""
+    """[c, d] packed spectrum -> (rows, n_pad, 2049) complex bins."""
     rows, n_pad = s_r.shape[:2]
-    flat_r = s_r.reshape(rows, n_pad, N)[..., :N_BINS]
-    flat_i = s_i.reshape(rows, n_pad, N)[..., :N_BINS]
+    flat_r = s_r.transpose(0, 1, 3, 2).reshape(rows, n_pad, N)[..., :N_BINS]
+    flat_i = s_i.transpose(0, 1, 3, 2).reshape(rows, n_pad, N)[..., :N_BINS]
     return jax.lax.complex(flat_r, flat_i)
 
 
 def packed_magnitude(s_r: jax.Array, s_i: jax.Array, bin_limit: int) -> jax.Array:
-    """|spec| on bins < bin_limit -> (rows, n_pad, bin_limit); reads only the
-    in-band [d, c] rows (bin_limit/64 of 64)."""
+    """|spec| on bins < bin_limit -> (rows, n_pad, bin_limit), bin-ordered
+    (one XLA transpose pass [c, d] -> [d, c], fused with the hypot)."""
     if bin_limit % R:
         raise ValueError("bin_limit must be a multiple of 64")
     rows, n_pad = s_r.shape[:2]
     mr = bin_limit // R
-    r = s_r[:, :, :mr]
-    i = s_i[:, :, :mr]
-    return jnp.sqrt(r * r + i * i).reshape(rows, n_pad, bin_limit)
+    r = s_r[:, :, :, :mr]
+    i = s_i[:, :, :, :mr]
+    mag = jnp.sqrt(r * r + i * i)  # (rows, n_pad, 64 c, mr d)
+    return mag.transpose(0, 1, 3, 2).reshape(rows, n_pad, bin_limit)
 
 
 # ---------------------------------------------------------------------------
-# Inverse: packed spectrum + per-stem masks -> overlap-added audio
+# Inverse: packed spectrum + per-stem [c, d] masks -> overlap-added audio
 # ---------------------------------------------------------------------------
 
 
-def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1_ref, w2_ref, tr_ref,
-                   ti_ref, sr_ref, si_ref, bnd_ref, win_ref, out_ref, carry,
-                   *, n_stems: int, mask_rows: int, nblocks: int):
+def masks_flat_to_cd(masks: jax.Array, n_pad: int) -> jax.Array:
+    """(S, rows, >= n_pad frames, bin_limit) bin-ordered masks -> the
+    kernel's (S, rows, n_pad, 64, 32) [c, d] layout, d >= bin_limit/64
+    zero-padded (one XLA transpose pass; the packed U-Net head emits this
+    layout directly -- kernels/tail.py::unpack_mask_cd)."""
+    s, rows = masks.shape[:2]
+    bl = masks.shape[-1]
+    m = masks[:, :, :n_pad].astype(jnp.float32).reshape(
+        s, rows, n_pad, bl // R, R
+    )
+    m = m.transpose(0, 1, 2, 4, 3)  # (S, rows, n_pad, 64 c, d)
+    return jnp.pad(
+        m, ((0, 0), (0, 0), (0, 0), (0, 0), (0, D_LO - bl // R))
+    )
+
+
+def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
+                   w1rh_ref, tr_ref, ti_ref, e2t_ref, srl_ref, sil_ref,
+                   srh_ref, bnd_ref, win_ref, out_ref, carry,
+                   *, n_stems: int, nblocks: int):
     """One (row, frame-block) step: all stems' mask + iFFT + window + OLA.
 
-    yr/yi: (1, FB, 64, 64) packed spectrum block (shared across stems).
-    m_ref: (S, 1, 1, FB, mask_rows, 64) in-band masks, [d, c] rows.
-    uw_ref:(1, S) SMEM per-stem out-of-band weights.
+    yr/yi: (1, FB, 64, 64) packed [c, d] spectrum block (stems share it).
+    m_ref: (S, 1, 1, FB, 64, 32) [c, d] in-band masks.
     out:   (S, 1, 1, FB*16, 64) finished audio rows.
     carry: (S, 48, 64) VMEM: the 3072-sample overlap tail across steps.
     Step `nblocks` (one past the data) is the flush: frames are zeroed so
@@ -276,35 +329,45 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1_ref, w2_ref, tr_ref,
         carry[:] = jnp.zeros_like(carry)
 
     live = jnp.where(b < nblocks, 1.0, 0.0)
-    sr = sr_ref[:] * live  # fold the flush-zeroing into the scale tables
-    si = si_ref[:] * live
-    band = bnd_ref[:]
-    y_r = yr_ref[0]  # (FB, 64, 64) [d, c]
+    sr_lo = srl_ref[:] * live  # fold the flush-zeroing into the scales
+    si_lo = sil_ref[:] * live
+    sr_hi = srh_ref[:] * live
+    band = bnd_ref[:]  # (64, 32)
+    y_r = yr_ref[0]  # (FB, 64, 64) [c, d]
     y_i = yi_ref[0]
     tr = tr_ref[:]
     ti = ti_ref[:]
     win = win_ref[:].reshape(1, R, R)
 
     for s in range(n_stems):
-        m_in = m_ref[s, 0, 0]  # (FB, mask_rows, 64), host-split lanes
-        pad = jnp.zeros((FB, R - mask_rows, R), jnp.float32)
-        m = jnp.concatenate([m_in, pad], axis=1) * band + uw_ref[0, s] * (1.0 - band)
-        a_r = y_r * m * sr
-        a_i = y_i * m * si
-        # Inverse transform (kernels/pallas_fft.py formulation).
-        yt_r = jnp.swapaxes(a_r, 1, 2).reshape(FB * R, R)  # [f*c, d]
-        yt_i = jnp.swapaxes(a_i, 1, 2).reshape(FB * R, R)
-        x1 = jnp.concatenate([yt_r, yt_i], axis=-1)
-        z = jnp.dot(x1, w1_ref[:], preferred_element_type=jnp.float32)
-        z_r = z[:, :R].reshape(FB, R, R)  # [c, b]
-        z_i = z[:, R:].reshape(FB, R, R)
+        m = m_ref[s, 0, 0]  # (FB, 64, 32)
+        blend = m * band + uw_ref[0, s] * (1.0 - band)
+        a_r = y_r[..., :D_LO] * blend * sr_lo
+        a_i = y_i[..., :D_LO] * blend * si_lo
+        a_h = y_r[..., D_LO:] * (uw_ref[0, s] * sr_hi)  # Nyquist only
+
+        # Stage 1 over d: three K = 32 matmuls, complex packing on N.
+        z = (
+            jnp.dot(
+                a_r.reshape(FB * R, D_LO), w1rl_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                a_i.reshape(FB * R, D_LO), w1il_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                a_h.reshape(FB * R, D_LO), w1rh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        ).reshape(FB, R, 2 * R)  # [c, b_r | b_i]
+        z_r = z[..., :R]
+        z_i = z[..., R:]
         w_r = z_r * tr - z_i * ti
         w_i = z_r * ti + z_i * tr
-        wt_r = jnp.swapaxes(w_r, 1, 2).reshape(FB * R, R)  # [f*b, c]
-        wt_i = jnp.swapaxes(w_i, 1, 2).reshape(FB * R, R)
-        x2 = jnp.concatenate([wt_r, wt_i], axis=-1)
-        o = jnp.dot(x2, w2_ref[:], preferred_element_type=jnp.float32)
-        frames = jnp.swapaxes(o.reshape(FB, R, R), 1, 2) * win  # [f, a, b]
+        # Stage 2 over c: static packed LHS -> row-major [a, b] frames.
+        wpack = jnp.concatenate([w_r, w_i], axis=1)  # (FB, 128, 64)
+        frames = _shared_lhs_matmul(e2t_ref[:], wpack) * win  # (FB, 64, 64)
 
         # Overlap-add: frame f covers output rows [16 f, 16 f + 64); the
         # four hop chunks become leading-axis-shifted streams.
@@ -329,10 +392,10 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1_ref, w2_ref, tr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bin_limit", "n_frames"))
-def masked_istft4096_packed(
-    s_r: jax.Array,  # (rows, n_pad, 64, 64) packed spectrum (stft4096_packed)
+def masked_istft4096_cd(
+    s_r: jax.Array,  # (rows, n_pad, 64, 64) [c, d] spectrum
     s_i: jax.Array,
-    masks: jax.Array,  # (S, rows, >= n_pad frames, bin_limit) float32
+    masks_cd: jax.Array,  # (S, rows, n_pad, 64, 32) [c, d] masks
     out_band: jax.Array,  # (S,) float32 out-of-band weights
     bin_limit: int,
     window: jax.Array,  # (4096,) synthesis window (scale chain folded)
@@ -349,15 +412,12 @@ def masked_istft4096_packed(
     rows, n_pad = s_r.shape[:2]
     if n_pad % FB:
         raise ValueError("spectrum frames must be 32-aligned (stft4096_packed)")
-    n_stems = masks.shape[0]
-    mask_rows = bin_limit // R
+    n_stems = masks_cd.shape[0]
     nblocks = n_pad // FB
-    m = masks[:, :, :n_pad].astype(jnp.float32).reshape(
-        n_stems, rows, nblocks, FB, mask_rows, R
-    )
+    m = masks_cd.reshape(n_stems, rows, nblocks, FB, R, D_LO)
     uw = out_band.astype(jnp.float32).reshape(1, n_stems)
-    w1, w2, tr, ti = _inv_tables()
-    srt, sit, band = _scale_tables(mask_rows)
+    w1rl, w1il, w1rh, tr, ti, e2t = _inv_tables()
+    sr_lo, si_lo, sr_hi, band = _scale_tables(bin_limit)
 
     def clamp(b):
         return jnp.minimum(b, nblocks - 1)
@@ -371,8 +431,7 @@ def masked_istft4096_packed(
     )
     out = pl.pallas_call(
         functools.partial(
-            _mistft_kernel,
-            n_stems=n_stems, mask_rows=mask_rows, nblocks=nblocks,
+            _mistft_kernel, n_stems=n_stems, nblocks=nblocks,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_stems, rows, nblocks + 1, FB * CHUNK_ROWS, R), jnp.float32
@@ -381,14 +440,16 @@ def masked_istft4096_packed(
         in_specs=[
             spec_spec, spec_spec,
             pl.BlockSpec(
-                (n_stems, 1, 1, FB, mask_rows, R),
+                (n_stems, 1, 1, FB, R, D_LO),
                 lambda r, b: (0, r, clamp(b), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # out-of-band weights
-            tbl((2 * R, 2 * R)), tbl((2 * R, R)),  # inverse stages
+            tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)),
             tbl((R, R)), tbl((R, R)),  # twiddle
-            tbl((R, R)), tbl((R, R)), tbl((R, R)),  # scale re/im, band
+            tbl((R, 2 * R)),  # stage-2 static LHS
+            tbl((R, D_LO)), tbl((R, D_LO)), tbl((R, D_LO)),  # scales
+            tbl((R, D_LO)),  # band
             tbl((R, R)),  # synthesis window [a, b]
         ],
         out_specs=pl.BlockSpec(
@@ -399,9 +460,29 @@ def masked_istft4096_packed(
         scratch_shapes=[pltpu.VMEM((n_stems, TAIL_ROWS, R), jnp.float32)],
     )(
         s_r, s_i, m, uw,
-        jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(tr), jnp.asarray(ti),
-        jnp.asarray(srt), jnp.asarray(sit), jnp.asarray(band),
+        jnp.asarray(w1rl), jnp.asarray(w1il), jnp.asarray(w1rh),
+        jnp.asarray(tr), jnp.asarray(ti), jnp.asarray(e2t),
+        jnp.asarray(sr_lo), jnp.asarray(si_lo), jnp.asarray(sr_hi),
+        jnp.asarray(band),
         window.astype(jnp.float32).reshape(R, R),
     )
     audio = out.reshape(n_stems, rows, (nblocks + 1) * FB * HOP)
     return audio[..., : n_frames * HOP + (N - HOP)]
+
+
+def masked_istft4096_packed(
+    s_r: jax.Array,
+    s_i: jax.Array,
+    masks: jax.Array,  # (S, rows, >= n_pad frames, bin_limit) bin-ordered
+    out_band: jax.Array,
+    bin_limit: int,
+    window: jax.Array,
+    n_frames: int,
+) -> jax.Array:
+    """Flat-mask wrapper of masked_istft4096_cd (one host transpose pass;
+    the packed U-Net path feeds the cd entry point directly)."""
+    n_pad = s_r.shape[1]
+    return masked_istft4096_cd(
+        s_r, s_i, masks_flat_to_cd(masks, n_pad), out_band, bin_limit,
+        window, n_frames,
+    )

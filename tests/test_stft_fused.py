@@ -28,10 +28,10 @@ def interpret_pallas(monkeypatch):
         pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
     )
     stft_fused.stft4096_packed.clear_cache()
-    stft_fused.masked_istft4096_packed.clear_cache()
+    stft_fused.masked_istft4096_cd.clear_cache()
     yield
     stft_fused.stft4096_packed.clear_cache()
-    stft_fused.masked_istft4096_packed.clear_cache()
+    stft_fused.masked_istft4096_cd.clear_cache()
 
 
 def _packed_setup(rng, n=90000):

@@ -205,3 +205,39 @@ def test_packed_unet_single_net(rng):
         model.FORCE_PALLAS_HEAD = None
         model.unet_forward.clear_cache()
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=2e-4)
+
+
+def test_fused_separation_with_packed_unet_cd_masks(rng):
+    """End-to-end fused graph with the packed U-Net's [c, d] mask path ==
+    the canonical separation (fp32, interpret)."""
+    import os
+    from unittest import mock
+
+    from spleeterrt_tpu.config import SeparatorConfig
+    from spleeterrt_tpu.core import separate, transform
+
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=4, compute_dtype=jnp.float32
+    )
+    params2 = [model.init_params(jax.random.PRNGKey(i)) for i in range(2)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params2)
+    audio = jnp.asarray(rng.standard_normal((2, 3 * 4096)) * 0.3, jnp.float32)
+    padded = transform.pad_offline(audio, cfg.transform)
+    ob = (0.25, 0.0)
+
+    try:
+        model.FORCE_PACKED_UNET = False
+        separate.separate_nstem.clear_cache()
+        ref = np.asarray(
+            separate.separate_nstem(stacked, padded, cfg, ob, pallas=False)
+        )
+        model.FORCE_PACKED_UNET = True
+        separate.separate_nstem.clear_cache()
+        with mock.patch.dict(os.environ, {"SPLEETERRT_FUSED_STFT": "1"}):
+            got = np.asarray(
+                separate.separate_nstem(stacked, padded, cfg, ob)
+            )
+    finally:
+        model.FORCE_PACKED_UNET = None
+        separate.separate_nstem.clear_cache()
+    np.testing.assert_allclose(got, ref, atol=5e-4)
