@@ -131,6 +131,16 @@ def main():
 
     results["masked_istft_fused_ms"] = timed_loop(fistft_body, s_r, s_i, masks_cf)
 
+    masks_cd = jnp.ones((4, 2, s_r.shape[1], 64, 32), jnp.float32)
+
+    def fistft_cd_body(sr, si, m):
+        out = stft_fused.masked_istft4096_cd(
+            sr, si, m, uw, cfg.bin_limit, swin, n_frames
+        )
+        return (sr + 1e-30 * out[0, 0, 0], si, m)
+
+    results["masked_istft_cd_ms"] = timed_loop(fistft_cd_body, s_r, s_i, masks_cd)
+
     # Mask relayout NHWC tiles -> (S, 2, frames, F) (feeds the iSTFT).
     masks_tiles = jnp.ones((4, nt, cfg.time_step, cfg.bin_limit, 2), jnp.float32)
 
@@ -167,6 +177,17 @@ def main():
         return (s + 1e-30 * out[0, 0, 0], m)
 
     results["masked_irfft_plus_ola_ms"] = timed_loop(ola_body, spec, masks4)
+
+    # --- packed U-Net (round 4) ---------------------------------------------
+    def unet_packed_body(t):
+        masks = model.multi_stem_masks_cd(
+            stacked, t, 1, jnp.bfloat16, "exact"
+        )
+        return (t + 1e-20 * jnp.sum(masks).astype(t.dtype),)
+
+    model.FORCE_PACKED_UNET = True
+    results["unet_packed_cd_ms"] = timed_loop(unet_packed_body, tiles)
+    model.FORCE_PACKED_UNET = None
 
     # --- U-Net stages at the production batch --------------------------------
     for enc in (False, True):

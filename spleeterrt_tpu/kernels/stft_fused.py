@@ -58,7 +58,11 @@ R = 64
 D_LO = 32  # mask d-lanes: k = c + 64 d < 2048 in-band rows
 N_BINS = N // 2 + 1
 HOP = 1024  # the reference's only hop (Executable/stftFix.h:14-18)
-FB = 32  # frames per grid step
+FB = 32  # frames per forward grid step
+# Inverse frames per grid step: the [c, d<32] mask blocks pad their 32
+# lanes to 128 in VMEM vregs (4x), so the inverse runs half-size blocks to
+# stay inside the 16 MB scoped-vmem limit at 4 stems.
+FB_INV = 16
 LAP = N // HOP  # 4 overlapping chunk streams
 CHUNK_ROWS = HOP // R  # 16 rows of 64 samples per hop chunk
 TAIL_ROWS = (LAP - 1) * CHUNK_ROWS  # 48 rows = 3072 carried samples
@@ -315,9 +319,9 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
                    *, n_stems: int, nblocks: int):
     """One (row, frame-block) step: all stems' mask + iFFT + window + OLA.
 
-    yr/yi: (1, FB, 64, 64) packed [c, d] spectrum block (stems share it).
-    m_ref: (S, 1, 1, FB, 64, 32) [c, d] in-band masks.
-    out:   (S, 1, 1, FB*16, 64) finished audio rows.
+    yr/yi: (1, FB_INV, 64, 64) packed [c, d] spectrum block (shared).
+    m_ref: (S, 1, 1, FB_INV, 64, 32) [c, d] in-band masks.
+    out:   (S, 1, 1, FB_INV*16, 64) finished audio rows.
     carry: (S, 48, 64) VMEM: the 3072-sample overlap tail across steps.
     Step `nblocks` (one past the data) is the flush: frames are zeroed so
     the carry drains into the output block.
@@ -333,14 +337,14 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
     si_lo = sil_ref[:] * live
     sr_hi = srh_ref[:] * live
     band = bnd_ref[:]  # (64, 32)
-    y_r = yr_ref[0]  # (FB, 64, 64) [c, d]
+    y_r = yr_ref[0]  # (FB_INV, 64, 64) [c, d]
     y_i = yi_ref[0]
     tr = tr_ref[:]
     ti = ti_ref[:]
     win = win_ref[:].reshape(1, R, R)
 
     for s in range(n_stems):
-        m = m_ref[s, 0, 0]  # (FB, 64, 32)
+        m = m_ref[s, 0, 0]  # (FB_INV, 64, 32)
         blend = m * band + uw_ref[0, s] * (1.0 - band)
         a_r = y_r[..., :D_LO] * blend * sr_lo
         a_i = y_i[..., :D_LO] * blend * si_lo
@@ -349,46 +353,46 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
         # Stage 1 over d: three K = 32 matmuls, complex packing on N.
         z = (
             jnp.dot(
-                a_r.reshape(FB * R, D_LO), w1rl_ref[:],
+                a_r.reshape(FB_INV * R, D_LO), w1rl_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + jnp.dot(
-                a_i.reshape(FB * R, D_LO), w1il_ref[:],
+                a_i.reshape(FB_INV * R, D_LO), w1il_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + jnp.dot(
-                a_h.reshape(FB * R, D_LO), w1rh_ref[:],
+                a_h.reshape(FB_INV * R, D_LO), w1rh_ref[:],
                 preferred_element_type=jnp.float32,
             )
-        ).reshape(FB, R, 2 * R)  # [c, b_r | b_i]
+        ).reshape(FB_INV, R, 2 * R)  # [c, b_r | b_i]
         z_r = z[..., :R]
         z_i = z[..., R:]
         w_r = z_r * tr - z_i * ti
         w_i = z_r * ti + z_i * tr
         # Stage 2 over c: static packed LHS -> row-major [a, b] frames.
-        wpack = jnp.concatenate([w_r, w_i], axis=1)  # (FB, 128, 64)
-        frames = _shared_lhs_matmul(e2t_ref[:], wpack) * win  # (FB, 64, 64)
+        wpack = jnp.concatenate([w_r, w_i], axis=1)  # (FB_INV, 128, 64)
+        frames = _shared_lhs_matmul(e2t_ref[:], wpack) * win  # (FB_INV, 64, 64)
 
         # Overlap-add: frame f covers output rows [16 f, 16 f + 64); the
         # four hop chunks become leading-axis-shifted streams.
-        chunks = frames.reshape(FB, LAP, CHUNK_ROWS, R)
+        chunks = frames.reshape(FB_INV, LAP, CHUNK_ROWS, R)
         acc = None
         for c in range(LAP):
-            parts = [chunks[:, c]]  # stream c lands at rows [c, c + FB)
+            parts = [chunks[:, c]]  # stream c lands at rows [c, c + FB_INV)
             if c:
                 parts.insert(0, jnp.zeros((c, CHUNK_ROWS, R), jnp.float32))
             if LAP - 1 - c:
                 parts.append(
                     jnp.zeros((LAP - 1 - c, CHUNK_ROWS, R), jnp.float32)
                 )
-            part = jnp.concatenate(parts, axis=0)  # (FB + 3, 16, 64)
+            part = jnp.concatenate(parts, axis=0)  # (FB_INV + 3, 16, 64)
             acc = part if acc is None else acc + part
         head = acc[: LAP - 1].reshape(TAIL_ROWS, R) + carry[s]
-        carry[s] = acc[FB : FB + LAP - 1].reshape(TAIL_ROWS, R)
+        carry[s] = acc[FB_INV : FB_INV + LAP - 1].reshape(TAIL_ROWS, R)
         out = jnp.concatenate(
-            [head.reshape(LAP - 1, CHUNK_ROWS, R), acc[LAP - 1 : FB]], axis=0
+            [head.reshape(LAP - 1, CHUNK_ROWS, R), acc[LAP - 1 : FB_INV]], axis=0
         )
-        out_ref[s, 0, 0] = out.reshape(FB * CHUNK_ROWS, R)
+        out_ref[s, 0, 0] = out.reshape(FB_INV * CHUNK_ROWS, R)
 
 
 @functools.partial(jax.jit, static_argnames=("bin_limit", "n_frames"))
@@ -410,11 +414,11 @@ def masked_istft4096_cd(
     if bin_limit % R:
         raise ValueError("bin_limit must be a multiple of 64")
     rows, n_pad = s_r.shape[:2]
-    if n_pad % FB:
+    if n_pad % FB_INV:
         raise ValueError("spectrum frames must be 32-aligned (stft4096_packed)")
     n_stems = masks_cd.shape[0]
-    nblocks = n_pad // FB
-    m = masks_cd.reshape(n_stems, rows, nblocks, FB, R, D_LO)
+    nblocks = n_pad // FB_INV
+    m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, D_LO)
     uw = out_band.astype(jnp.float32).reshape(1, n_stems)
     w1rl, w1il, w1rh, tr, ti, e2t = _inv_tables()
     sr_lo, si_lo, sr_hi, band = _scale_tables(bin_limit)
@@ -423,7 +427,7 @@ def masked_istft4096_cd(
         return jnp.minimum(b, nblocks - 1)
 
     spec_spec = pl.BlockSpec(
-        (1, FB, R, R), lambda r, b: (r, clamp(b), 0, 0),
+        (1, FB_INV, R, R), lambda r, b: (r, clamp(b), 0, 0),
         memory_space=pltpu.VMEM,
     )
     tbl = lambda shape: pl.BlockSpec(
@@ -434,13 +438,13 @@ def masked_istft4096_cd(
             _mistft_kernel, n_stems=n_stems, nblocks=nblocks,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_stems, rows, nblocks + 1, FB * CHUNK_ROWS, R), jnp.float32
+            (n_stems, rows, nblocks + 1, FB_INV * CHUNK_ROWS, R), jnp.float32
         ),
         grid=(rows, nblocks + 1),
         in_specs=[
             spec_spec, spec_spec,
             pl.BlockSpec(
-                (n_stems, 1, 1, FB, R, D_LO),
+                (n_stems, 1, 1, FB_INV, R, D_LO),
                 lambda r, b: (0, r, clamp(b), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -453,7 +457,7 @@ def masked_istft4096_cd(
             tbl((R, R)),  # synthesis window [a, b]
         ],
         out_specs=pl.BlockSpec(
-            (n_stems, 1, 1, FB * CHUNK_ROWS, R),
+            (n_stems, 1, 1, FB_INV * CHUNK_ROWS, R),
             lambda r, b: (0, r, b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -466,7 +470,7 @@ def masked_istft4096_cd(
         jnp.asarray(band),
         window.astype(jnp.float32).reshape(R, R),
     )
-    audio = out.reshape(n_stems, rows, (nblocks + 1) * FB * HOP)
+    audio = out.reshape(n_stems, rows, (nblocks + 1) * FB_INV * HOP)
     return audio[..., : n_frames * HOP + (N - HOP)]
 
 

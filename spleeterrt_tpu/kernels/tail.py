@@ -118,37 +118,74 @@ def quad_pack_nhwc(x: jax.Array, c: int) -> jax.Array:
 
 
 @functools.cache
-def _up_selection(cin: int) -> np.ndarray:
-    """0/1 (wq=3, j=g, p=g, b=3): output col-in-quad p, subpixel col tap b
-    -> window quad wq, in-quad column j. Window column (in 1-quad-left-
-    padded coordinates) = p - 1 + b + g."""
-    g = 128 // cin
-    sel = np.zeros((3, g, g, 3), np.float32)
-    for p in range(g):
+def _up_sel_pair() -> np.ndarray:
+    """g=2 (up4): 0/1 (wq=2, j=2, p=2, b=3) over the EXACT 4-column window
+    held by the half-shifted quad pair (sh[q], sh[q+1]) = columns
+    [2q-1, 2q+2]: local column lc = p + b -> (wq, j) = (lc//2, lc%2)."""
+    sel = np.zeros((2, 2, 2, 3), np.float32)
+    for p in range(2):
         for b in range(3):
-            lc = p - 1 + b + g
-            sel[lc // g, lc % g, p, b] = 1.0
+            lc = p + b
+            sel[lc // 2, lc % 2, p, b] = 1.0
     return sel
 
 
-def _pack_w_up(w5: jax.Array, cin: int, dtype) -> jax.Array:
-    """(5,5,Cin,Cout) transposed-conv kernel -> (3, 3*128, 256) per-row-tap
-    window matmul weights.
+@functools.cache
+def _up_sel_quad() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """g=4 (up5): selections for the three exact-window operands.
 
-    K row = wq*128 + j*cin + ci; N col = dp*128 + (2p + dq)*cout + co with
-    cout = cin//2 (so (2p + dq)*cout + co spans exactly 128 lanes).
+    op0 (aligned quad, columns 4q..4q+3) serves output columns p in {1, 2}
+    (window p-1+b); sh0 (half-shifted, columns 4q-2..4q+1) serves p = 0
+    (local column 1+b); sh1 (= sh0 shifted one quad, columns 4q+2..4q+5)
+    serves p = 3 (local column b).
+    """
+    s0 = np.zeros((4, 2, 3), np.float32)  # (j, p-1, b)
+    for p2 in range(2):
+        for b in range(3):
+            s0[p2 + b, p2, b] = 1.0
+    sm = np.zeros((4, 3), np.float32)
+    sp = np.zeros((4, 3), np.float32)
+    for b in range(3):
+        sm[1 + b, b] = 1.0
+        sp[b, b] = 1.0
+    return s0, sm, sp
+
+
+def _pack_w_up(w5: jax.Array, cin: int, dtype):
+    """(5,5,Cin,Cout) transposed-conv kernel -> per-row-tap exact-window
+    matmul weights for one source half.
+
+    g = 2 (up4): one (3, 256, 256) table over the sh-pair window (K row =
+    wq*128 + j*cin + ci; N = dp*128 + (2p + dq)*cout + co).
+    g = 4 (up5): a ((3, 128, 128), (3, 128, 64), (3, 128, 64)) triple for
+    (op0 -> p in {1,2}: N = dp*64 + (p-1)*2*cout + dq*cout + co;
+     sh0 -> p = 0 and sh1 -> p = 3: N = dp*32 + dq*cout + co).
     """
     from spleeterrt_tpu.core.model import _pack_tconv_kernel
 
     g = 128 // cin
     cout = w5.shape[-1]
     pk = _pack_tconv_kernel(w5.astype(jnp.float32))  # (3, 3, cin, 4*cout)
-    sel = jnp.asarray(_up_selection(cin))
-    # (a, wq, j, ci, p, P=4*cout)
-    w = jnp.einsum("wjpb,abcP->awjcpP", sel, pk)
-    w = w.reshape(3, 3, g, cin, g, 2, 2, cout)  # (a, wq, j, ci, p, dp, dq, co)
-    w = w.transpose(0, 1, 2, 3, 5, 4, 6, 7)  # (a, wq, j, ci, dp, p, dq, co)
-    return w.reshape(3, 3 * 128, 256).astype(dtype)
+    if g == 2:
+        sel = jnp.asarray(_up_sel_pair())
+        w = jnp.einsum("wjpb,abcP->awjcpP", sel, pk)
+        w = w.reshape(3, 2, 2, cin, 2, 2, 2, cout)
+        w = w.transpose(0, 1, 2, 3, 5, 4, 6, 7)  # (a,wq,j,ci,dp,p,dq,co)
+        return (w.reshape(3, 2 * 128, 256).astype(dtype),)
+    if g != 4:
+        raise ValueError(f"unsupported source channel count {cin}")
+    s0, sm, sp = (jnp.asarray(s) for s in _up_sel_quad())
+    w0 = jnp.einsum("jpb,abcP->ajcpP", s0, pk)  # (a, j, ci, p2, 4cout)
+    w0 = w0.reshape(3, 4, cin, 2, 2, 2, cout)
+    w0 = w0.transpose(0, 1, 2, 4, 3, 5, 6)  # (a, j, ci, dp, p2, dq, co)
+    w0 = w0.reshape(3, 128, 128)
+    wm = jnp.einsum("jb,abcP->ajcP", sm, pk).reshape(3, 4, cin, 2, 2, cout)
+    wm = wm.reshape(3, 128, 64)
+    wp = jnp.einsum("jb,abcP->ajcP", sp, pk).reshape(3, 4, cin, 2, 2, cout)
+    wp = wp.reshape(3, 128, 64)
+    return (
+        w0.astype(dtype), wm.astype(dtype), wp.astype(dtype),
+    )
 
 
 def _up_epilogue(b: jax.Array, bns: jax.Array, bnh: jax.Array) -> jax.Array:
@@ -164,29 +201,42 @@ def _up_epilogue(b: jax.Array, bns: jax.Array, bnh: jax.Array) -> jax.Array:
     )
 
 
-def _up_kernel(a_ref, b_ref, wa_ref, wb_ref, epi_ref, out_ref,
-               *, act: str, nqc: int, t_in: int):
-    """One (stem*batch, frequency-chunk) step of a subpixel up-layer.
+def _up_finish(acc, epi_ref, out_ref, act, nqc, t_in):
+    """Decoder epilogue (activation BEFORE batch norm, spleeter.c:244-245)
+    + row-parity interleave (lanes [0:128) even rows, [128:256) odd; the
+    stack + reshape is one sublane relayout)."""
+    z = acc + epi_ref[0, 0:1]
+    y = epi_ref[0, 1:2] * _act_f32(z, act) + epi_ref[0, 2:3]
+    y2 = jnp.stack([y[..., :128], y[..., 128:]], axis=2)
+    out_ref[0] = y2.reshape(nqc, 2 * t_in, 128).astype(out_ref.dtype)
+
+
+def _sh_operand(x, n):
+    """Half-quad-shifted operand: sh[i] = [x[i][64:] | x[i+1][:64]] for
+    i in [0, n) -- the 64-lane slices and concat are vreg-half aligned."""
+    return jnp.concatenate([x[0:n, :, 64:], x[1 : n + 1, :, :64]], axis=-1)
+
+
+def _up_kernel_pair(a_ref, b_ref, wa_ref, wb_ref, epi_ref, out_ref,
+                    *, act: str, nqc: int, t_in: int):
+    """g = 2 (up4) step: exact 4-column windows via sh-operand pairs.
 
     a_ref/b_ref: (1, nqc + 2, round8(t_in + 2), 128) packed skip / prev
         windows (pad_pk layout), Element-fetched with 1-quad overlap.
-    wa/wb: (1, 3, 384, 256) per-stem window matmul weights per source.
+    wa/wb: (1, 3, 256, 256) per-stem exact-window weights per source.
     epi_ref: (1, 3, 256) f32 epilogue lane table.
     out_ref: (1, nqc, 2*t_in, 128) PK(cout) output, rows interleaved.
     """
     tp = _round8(t_in + 2)
-    xa = a_ref[0]
-    xb = b_ref[0]
-    # 3-quad window im2col via leading-axis slices (one lane-concat each).
-    xca = jnp.concatenate(
-        [xa[0:nqc], xa[1 : nqc + 1], xa[2 : nqc + 2]], axis=-1
-    ).reshape(nqc * tp, 384)
-    xcb = jnp.concatenate(
-        [xb[0:nqc], xb[1 : nqc + 1], xb[2 : nqc + 2]], axis=-1
-    ).reshape(nqc * tp, 384)
 
-    # One K = 384 matmul per (row tap, source); per-tap accumulators stay
-    # aligned and the three row shifts happen once at the end.
+    def xc(x):
+        sh = _sh_operand(x, nqc + 1)
+        return jnp.concatenate(
+            [sh[0:nqc], sh[1 : nqc + 1]], axis=-1
+        ).reshape(nqc * tp, 256)
+
+    xca = xc(a_ref[0])
+    xcb = xc(b_ref[0])
     accs = []
     for a in range(3):
         za = jnp.dot(xca, wa_ref[0, a], preferred_element_type=jnp.float32)
@@ -197,21 +247,56 @@ def _up_kernel(a_ref, b_ref, wa_ref, wb_ref, epi_ref, out_ref,
         + accs[1][:, 1 : t_in + 1]
         + accs[2][:, 2 : t_in + 2]
     )
+    _up_finish(acc, epi_ref, out_ref, act, nqc, t_in)
 
-    # Decoder epilogue: activation BEFORE batch norm (spleeter.c:244-245).
-    z = acc + epi_ref[0, 0:1]
-    y = epi_ref[0, 1:2] * _act_f32(z, act) + epi_ref[0, 2:3]
-    # Row-parity interleave: lanes [0:128) hold even output rows (dp = 0),
-    # [128:256) odd; stack + reshape is one sublane relayout.
-    y2 = jnp.stack([y[..., :128], y[..., 128:]], axis=2)
-    out_ref[0] = y2.reshape(nqc, 2 * t_in, 128).astype(out_ref.dtype)
+
+def _up_kernel_quad(a_ref, b_ref, wa0_ref, wam_ref, wap_ref, wb0_ref,
+                    wbm_ref, wbp_ref, epi_ref, out_ref,
+                    *, act: str, nqc: int, t_in: int):
+    """g = 4 (up5) step: three exact-window K = 128 operands per source
+    (aligned quad for output columns {1, 2}; half-shifted sh / sh+1 for
+    columns 0 / 3), pieces assembled into (dp, p, dq, co) lane order once.
+    """
+    tp = _round8(t_in + 2)
+    xa = a_ref[0]
+    xb = b_ref[0]
+    sha = _sh_operand(xa, nqc + 1)
+    shb = _sh_operand(xb, nqc + 1)
+    flat = lambda x: x.reshape(nqc * tp, 128)
+    ops = [
+        (flat(xa[1 : nqc + 1]), wa0_ref, flat(xb[1 : nqc + 1]), wb0_ref),
+        (flat(sha[0:nqc]), wam_ref, flat(shb[0:nqc]), wbm_ref),
+        (flat(sha[1 : nqc + 1]), wap_ref, flat(shb[1 : nqc + 1]), wbp_ref),
+    ]
+    pieces = []
+    for xo_a, w_a, xo_b, w_b in ops:
+        accs = []
+        for a in range(3):
+            za = jnp.dot(xo_a, w_a[0, a], preferred_element_type=jnp.float32)
+            zb = jnp.dot(xo_b, w_b[0, a], preferred_element_type=jnp.float32)
+            n = za.shape[-1]
+            accs.append((za + zb).reshape(nqc, tp, n))
+        pieces.append(
+            accs[0][:, 0:t_in]
+            + accs[1][:, 1 : t_in + 1]
+            + accs[2][:, 2 : t_in + 2]
+        )
+    p12, p0, p3 = pieces  # N orders: (dp,p2,dq,co)128 / (dp,dq,co)64 x2
+    acc = jnp.concatenate(
+        [
+            p0[..., :32], p12[..., :64], p3[..., :32],
+            p0[..., 32:], p12[..., 64:], p3[..., 32:],
+        ],
+        axis=-1,
+    )  # (nqc, t_in, 256) in (dp, p, dq, co) order
+    _up_finish(acc, epi_ref, out_ref, act, nqc, t_in)
 
 
 def up_shallow(
     skip_pk: jax.Array,  # (SB, nq + 2, rows, 128) pad_pk'd PK(cin)
     prev_pk: jax.Array,  # same layout/shape
-    w_skip: jax.Array,  # (S, 3, 384, 256) _pack_w_up of the skip K-half
-    w_prev: jax.Array,  # (S, 3, 384, 256)
+    w_skip: tuple,  # _pack_w_up tuple for the skip K-half (leading S each)
+    w_prev: tuple,  # same for the upsampled half
     epi: jax.Array,  # (S, 3, 256)
     *,
     t_in: int,
@@ -221,7 +306,7 @@ def up_shallow(
     """-> (SB, nq, 2*t_in, 128) PK(cout) at doubled resolution."""
     sb, nq2, rows, _ = skip_pk.shape
     nq = nq2 - 2
-    n_stems = w_skip.shape[0]
+    n_stems = w_skip[0].shape[0]
     bper = sb // n_stems
     cap = max(1, UP_QUAD_ROWS // rows)
     nqc = 1
@@ -235,16 +320,23 @@ def up_shallow(
         (1, nqc + 2, rows, 128), lambda b, f: (b, f * nqc, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    w_spec = pl.BlockSpec(
-        (1, 3, 384, 256), lambda b, f: (b // bper, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+
+    def w_spec(w):
+        shape = (1,) + w.shape[1:]
+        return pl.BlockSpec(
+            shape, lambda b, f: (b // bper,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = _up_kernel_pair if len(w_skip) == 1 else _up_kernel_quad
+    weights = list(w_skip) + list(w_prev)
     return pl.pallas_call(
-        functools.partial(_up_kernel, act=act, nqc=nqc, t_in=t_in),
+        functools.partial(kernel, act=act, nqc=nqc, t_in=t_in),
         out_shape=jax.ShapeDtypeStruct((sb, nq, 2 * t_in, 128), out_dtype),
         grid=(sb, nf),
-        in_specs=[
-            src_spec, src_spec, w_spec, w_spec,
+        in_specs=[src_spec, src_spec]
+        + [w_spec(w) for w in weights]
+        + [
             pl.BlockSpec(
                 (1, 3, 256), lambda b, f: (b // bper, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -254,7 +346,7 @@ def up_shallow(
             (1, nqc, 2 * t_in, 128), lambda b, f: (b, f, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    )(skip_pk, prev_pk, w_skip, w_prev, epi)
+    )(skip_pk, prev_pk, *weights, epi)
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,8 @@ def test_up_shallow_matches_canonical(rng, cin_src, t_in, f_in):
     got_pk = tail.up_shallow(
         tail.pad_pk(tail.quad_pack_nhwc(skip, cin_src)),
         tail.pad_pk(tail.quad_pack_nhwc(prev, cin_src)),
-        w_skip[None], w_prev[None], epi[None],
+        tuple(w[None] for w in w_skip), tuple(w[None] for w in w_prev),
+        epi[None],
         t_in=t_in, act="elu", out_dtype=jnp.float32,
     )
     got = quad_unpack(got_pk, cout)
@@ -74,11 +75,19 @@ def test_up_shallow_per_stem_weights(rng):
     lys = [_rand_up_layer(rng, 2 * cin_src, cout) for _ in range(2)]
     skip = jnp.asarray(rng.standard_normal((2, t_in, f_in, cin_src)), jnp.float32)
     prev = jnp.asarray(rng.standard_normal((2, t_in, f_in, cin_src)), jnp.float32)
-    w_skip = jnp.stack(
-        [tail._pack_w_up(ly["w"][:, :, :cin_src, :], cin_src, jnp.float32) for ly in lys]
+    w_skip = tuple(
+        jnp.stack(ws)
+        for ws in zip(*[
+            tail._pack_w_up(ly["w"][:, :, :cin_src, :], cin_src, jnp.float32)
+            for ly in lys
+        ])
     )
-    w_prev = jnp.stack(
-        [tail._pack_w_up(ly["w"][:, :, cin_src:, :], cin_src, jnp.float32) for ly in lys]
+    w_prev = tuple(
+        jnp.stack(ws)
+        for ws in zip(*[
+            tail._pack_w_up(ly["w"][:, :, cin_src:, :], cin_src, jnp.float32)
+            for ly in lys
+        ])
     )
     epi = jnp.stack(
         [tail._up_epilogue(ly["b"], ly["bn_scale"], ly["bn_shift"]) for ly in lys]
