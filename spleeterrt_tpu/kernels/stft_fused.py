@@ -146,28 +146,33 @@ def _inv_tables():
 
 
 @functools.cache
-def _scale_tables(bin_limit: int):
+def _scale_tables(mask_d: int):
     """[c, d] f32 tables folding the inverse scale chain.
 
-    sr_lo/si_lo: (64, 32): 2/N on k < 2048 (1/N at DC, DC imag zeroed).
-    sr_hi: (64, 32) for d in [32, 64): zero everywhere except Nyquist
-    (c = 0, d = 32) at 1/N (its imag is dropped entirely).
-    band: (64, 32) 1.0 on bins < bin_limit.
+    sr_in/si_in: (64, mask_d): 2/N on the masked band (1/N at DC, DC imag
+    zeroed) -- every (c, d < mask_d) bin is in-band, so no separate band
+    blend is needed. sr_mid/si_mid: (64, 32 - mask_d) for the unmasked
+    d < 32 rows (out-of-band, scalar weight). sr_hi: (64, 32) for
+    d in [32, 64): zero except Nyquist (c = 0, d = 32) at 1/N (its imag is
+    dropped entirely, like jnp.fft.irfft).
     """
     c = np.arange(R)[:, None]
-    d = np.arange(D_LO)[None, :]
-    k = c + 64 * d
-    sr_lo = np.full(k.shape, 2.0 / N)
-    sr_lo[0, 0] = 1.0 / N
-    si_lo = sr_lo.copy()
-    si_lo[0, 0] = 0.0
-    sr_hi = np.zeros(k.shape)
+
+    def lo(d0, d1):
+        d = np.arange(d0, d1)[None, :]
+        k = c + 64 * d
+        sr = np.full(k.shape, 2.0 / N)
+        si = np.full(k.shape, 2.0 / N)
+        if d0 == 0:
+            sr[0, 0] = 1.0 / N
+            si[0, 0] = 0.0
+        return sr.astype(np.float32), si.astype(np.float32)
+
+    sr_in, si_in = lo(0, mask_d)
+    sr_mid, si_mid = lo(mask_d, D_LO)
+    sr_hi = np.zeros((R, D_LO))
     sr_hi[0, 0] = 1.0 / N  # k = 2048 (Nyquist)
-    band = (k < bin_limit).astype(np.float32)
-    return (
-        sr_lo.astype(np.float32), si_lo.astype(np.float32),
-        sr_hi.astype(np.float32), band,
-    )
+    return sr_in, si_in, sr_mid, si_mid, sr_hi.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -299,28 +304,26 @@ def packed_magnitude(s_r: jax.Array, s_i: jax.Array, bin_limit: int) -> jax.Arra
 
 def masks_flat_to_cd(masks: jax.Array, n_pad: int) -> jax.Array:
     """(S, rows, >= n_pad frames, bin_limit) bin-ordered masks -> the
-    kernel's (S, rows, n_pad, 64, 32) [c, d] layout, d >= bin_limit/64
-    zero-padded (one XLA transpose pass; the packed U-Net head emits this
-    layout directly -- kernels/tail.py::unpack_mask_cd)."""
+    kernel's (S, rows, n_pad, 64, bin_limit//64) [c, d] layout (one XLA
+    transpose pass; the packed U-Net head emits this layout directly --
+    kernels/tail.py::unpack_mask_cd)."""
     s, rows = masks.shape[:2]
     bl = masks.shape[-1]
     m = masks[:, :, :n_pad].astype(jnp.float32).reshape(
         s, rows, n_pad, bl // R, R
     )
-    m = m.transpose(0, 1, 2, 4, 3)  # (S, rows, n_pad, 64 c, d)
-    return jnp.pad(
-        m, ((0, 0), (0, 0), (0, 0), (0, 0), (0, D_LO - bl // R))
-    )
+    return m.transpose(0, 1, 2, 4, 3)  # (S, rows, n_pad, 64 c, mask_d)
 
 
 def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
-                   w1rh_ref, tr_ref, ti_ref, e2t_ref, srl_ref, sil_ref,
-                   srh_ref, bnd_ref, win_ref, out_ref, carry,
-                   *, n_stems: int, nblocks: int):
+                   w1rh_ref, tr_ref, ti_ref, e2t_ref, sri_ref, sii_ref,
+                   srm_ref, sim_ref, srh_ref, win_ref, out_ref, carry,
+                   *, n_stems: int, nblocks: int, mask_d: int):
     """One (row, frame-block) step: all stems' mask + iFFT + window + OLA.
 
     yr/yi: (1, FB_INV, 64, 64) packed [c, d] spectrum block (shared).
-    m_ref: (S, 1, 1, FB_INV, 64, 32) [c, d] in-band masks.
+    m_ref: (S, 1, 1, FB_INV, 64, mask_d) [c, d] in-band masks (every bin
+           with d < mask_d is in-band, so the mask IS the blend).
     out:   (S, 1, 1, FB_INV*16, 64) finished audio rows.
     carry: (S, 48, 64) VMEM: the 3072-sample overlap tail across steps.
     Step `nblocks` (one past the data) is the flush: frames are zeroed so
@@ -333,45 +336,49 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
         carry[:] = jnp.zeros_like(carry)
 
     live = jnp.where(b < nblocks, 1.0, 0.0)
-    sr_lo = srl_ref[:] * live  # fold the flush-zeroing into the scales
-    si_lo = sil_ref[:] * live
+    sr_in = sri_ref[:] * live  # fold the flush-zeroing into the scales
+    si_in = sii_ref[:] * live
+    sr_mid = srm_ref[:] * live
+    si_mid = sim_ref[:] * live
     sr_hi = srh_ref[:] * live
-    band = bnd_ref[:]  # (64, 32)
     y_r = yr_ref[0]  # (FB_INV, 64, 64) [c, d]
     y_i = yi_ref[0]
     tr = tr_ref[:]
     ti = ti_ref[:]
     win = win_ref[:].reshape(1, R, R)
 
-    for s in range(n_stems):
-        m = m_ref[s, 0, 0]  # (FB_INV, 64, 32)
-        blend = m * band + uw_ref[0, s] * (1.0 - band)
-        a_r = y_r[..., :D_LO] * blend * sr_lo
-        a_i = y_i[..., :D_LO] * blend * si_lo
-        a_h = y_r[..., D_LO:] * (uw_ref[0, s] * sr_hi)  # Nyquist only
+    def k32(x, w):
+        return jnp.dot(
+            x.reshape(FB_INV * R, x.shape[-1]), w,
+            preferred_element_type=jnp.float32,
+        )
 
-        # Stage 1 over d: three K = 32 matmuls, complex packing on N.
+    for s in range(n_stems):
+        m = m_ref[s, 0, 0]  # (FB_INV, 64, mask_d)
+        uw = uw_ref[0, s]
+        # Stage 1 over d: K-split matmuls (in-band / out-of-band-mid /
+        # Nyquist-high), complex packing on the N axis -- no concats.
         z = (
-            jnp.dot(
-                a_r.reshape(FB_INV * R, D_LO), w1rl_ref[:],
-                preferred_element_type=jnp.float32,
-            )
-            + jnp.dot(
-                a_i.reshape(FB_INV * R, D_LO), w1il_ref[:],
-                preferred_element_type=jnp.float32,
-            )
-            + jnp.dot(
-                a_h.reshape(FB_INV * R, D_LO), w1rh_ref[:],
-                preferred_element_type=jnp.float32,
-            )
+            k32(y_r[..., :mask_d] * m * sr_in, w1rl_ref[:mask_d])
+            + k32(y_i[..., :mask_d] * m * si_in, w1il_ref[:mask_d])
+            + k32(y_r[..., mask_d:D_LO] * (uw * sr_mid), w1rl_ref[mask_d:])
+            + k32(y_i[..., mask_d:D_LO] * (uw * si_mid), w1il_ref[mask_d:])
+            + k32(y_r[..., D_LO:] * (uw * sr_hi), w1rh_ref[:])
         ).reshape(FB_INV, R, 2 * R)  # [c, b_r | b_i]
         z_r = z[..., :R]
         z_i = z[..., R:]
         w_r = z_r * tr - z_i * ti
         w_i = z_r * ti + z_i * tr
-        # Stage 2 over c: static packed LHS -> row-major [a, b] frames.
+        # Stage 2 over c: one static-LHS dot_general (shared table held
+        # stationary, all frames stream through as one N = FB*64 matmul)
+        # + a single small (a, f) relayout into row-major time order.
         wpack = jnp.concatenate([w_r, w_i], axis=1)  # (FB_INV, 128, 64)
-        frames = _shared_lhs_matmul(e2t_ref[:], wpack) * win  # (FB_INV, 64, 64)
+        o = jax.lax.dot_general(
+            e2t_ref[:], wpack,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (64 a, FB_INV, 64 b)
+        frames = o.transpose(1, 0, 2) * win  # (FB_INV, 64, 64)
 
         # Overlap-add: frame f covers output rows [16 f, 16 f + 64); the
         # four hop chunks become leading-axis-shifted streams.
@@ -399,7 +406,7 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
 def masked_istft4096_cd(
     s_r: jax.Array,  # (rows, n_pad, 64, 64) [c, d] spectrum
     s_i: jax.Array,
-    masks_cd: jax.Array,  # (S, rows, n_pad, 64, 32) [c, d] masks
+    masks_cd: jax.Array,  # (S, rows, n_pad, 64, bin_limit//64) [c, d]
     out_band: jax.Array,  # (S,) float32 out-of-band weights
     bin_limit: int,
     window: jax.Array,  # (4096,) synthesis window (scale chain folded)
@@ -417,11 +424,14 @@ def masked_istft4096_cd(
     if n_pad % FB_INV:
         raise ValueError("spectrum frames must be 32-aligned (stft4096_packed)")
     n_stems = masks_cd.shape[0]
+    mask_d = masks_cd.shape[-1]
+    if mask_d != bin_limit // R:
+        raise ValueError("masks_cd d-lanes must equal bin_limit // 64")
     nblocks = n_pad // FB_INV
-    m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, D_LO)
+    m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, mask_d)
     uw = out_band.astype(jnp.float32).reshape(1, n_stems)
     w1rl, w1il, w1rh, tr, ti, e2t = _inv_tables()
-    sr_lo, si_lo, sr_hi, band = _scale_tables(bin_limit)
+    sr_in, si_in, sr_mid, si_mid, sr_hi = _scale_tables(mask_d)
 
     def clamp(b):
         return jnp.minimum(b, nblocks - 1)
@@ -435,7 +445,7 @@ def masked_istft4096_cd(
     )
     out = pl.pallas_call(
         functools.partial(
-            _mistft_kernel, n_stems=n_stems, nblocks=nblocks,
+            _mistft_kernel, n_stems=n_stems, nblocks=nblocks, mask_d=mask_d,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_stems, rows, nblocks + 1, FB_INV * CHUNK_ROWS, R), jnp.float32
@@ -444,7 +454,7 @@ def masked_istft4096_cd(
         in_specs=[
             spec_spec, spec_spec,
             pl.BlockSpec(
-                (n_stems, 1, 1, FB_INV, R, D_LO),
+                (n_stems, 1, 1, FB_INV, R, mask_d),
                 lambda r, b: (0, r, clamp(b), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -452,8 +462,9 @@ def masked_istft4096_cd(
             tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)),
             tbl((R, R)), tbl((R, R)),  # twiddle
             tbl((R, 2 * R)),  # stage-2 static LHS
-            tbl((R, D_LO)), tbl((R, D_LO)), tbl((R, D_LO)),  # scales
-            tbl((R, D_LO)),  # band
+            tbl((R, mask_d)), tbl((R, mask_d)),  # in-band scales
+            tbl((R, D_LO - mask_d)), tbl((R, D_LO - mask_d)),  # mid scales
+            tbl((R, D_LO)),  # Nyquist-high scale
             tbl((R, R)),  # synthesis window [a, b]
         ],
         out_specs=pl.BlockSpec(
@@ -466,8 +477,8 @@ def masked_istft4096_cd(
         s_r, s_i, m, uw,
         jnp.asarray(w1rl), jnp.asarray(w1il), jnp.asarray(w1rh),
         jnp.asarray(tr), jnp.asarray(ti), jnp.asarray(e2t),
-        jnp.asarray(sr_lo), jnp.asarray(si_lo), jnp.asarray(sr_hi),
-        jnp.asarray(band),
+        jnp.asarray(sr_in), jnp.asarray(si_in),
+        jnp.asarray(sr_mid), jnp.asarray(si_mid), jnp.asarray(sr_hi),
         window.astype(jnp.float32).reshape(R, R),
     )
     audio = out.reshape(n_stems, rows, (nblocks + 1) * FB_INV * HOP)

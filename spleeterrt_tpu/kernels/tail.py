@@ -561,17 +561,16 @@ def unpack_mask(out: jax.Array, t2: int, f2: int) -> jax.Array:
 def unpack_mask_cd(
     out: jax.Array, n_stems: int, t2: int, f2: int
 ) -> jax.Array:
-    """Packed head output -> (S, 2ch, nt*2*t2 frames, 64, 32) masks in
-    kernels/stft_fused.py's [c, d] layout (bin = c + 64*d), zero-padded on
-    d past the band. Same single-XLA-transpose cost as unpack_mask: the
-    packed lanes/groups map straight onto (c, d) because the head's
-    32-column groups tile the bin axis (bin = 32*m0 + c32 -> c = 32*(m0%2)
-    + c32, d = m0//2)."""
+    """Packed head output -> (S, 2ch, nt*2*t2 frames, 64, bin_limit//64)
+    masks in kernels/stft_fused.py's compact [c, d] layout (bin =
+    c + 64*d). Same single-XLA-transpose cost as unpack_mask: the packed
+    lanes/groups map straight onto (c, d) because the head's 32-column
+    groups tile the bin axis (bin = 32*m0 + c32 -> c = 32*(m0%2) + c32,
+    d = m0//2)."""
     sb, g = out.shape[:2]
     nt = sb // n_stems
     d = g // 2  # = bin_limit // 64
     x = out.reshape(n_stems, nt, d, 2, t2, 2, 32, 2)
     # (S, co, nt, u, q, m0par, c32, d)
     x = x.transpose(0, 7, 1, 4, 5, 3, 6, 2)
-    x = x.reshape(n_stems, 2, nt * 2 * t2, 64, d)
-    return jnp.pad(x, ((0, 0),) * 4 + ((0, 32 - d),))
+    return x.reshape(n_stems, 2, nt * 2 * t2, 64, d)
