@@ -174,12 +174,12 @@ def _use_fast_layouts() -> bool:
     return jax.default_backend() != "cpu"
 
 
-# Above this many (stem * tile) batch rows the XLA head formulation wins:
-# the Pallas head's host-side quad pack/unpack transposes scale with batch
-# while XLA amortizes its layout changes, measured on v5e at the 300 s
-# offline workload (S*B = 204: XLA head 75.1 ms vs Pallas 102.8 ms for the
-# full U-Net; at the streaming batch S*B = 4 the Pallas head wins --
-# docs/PERF.md round-3 table).
+# Above this many (stem * tile) batch rows the XLA head formulation wins
+# OVER THE ROUND-3 KERNEL: its host-side quad pack/unpack transposes scale
+# with batch (docs/PERF.md round-4 study: input pack alone 10.7 ms at
+# S*B = 204). The round-4 packed trunk (_use_packed_unet) supersedes this
+# whole gate for the standard architecture; it remains for the fallback
+# kernel on non-standard architectures at small batch.
 PALLAS_HEAD_MAX_BATCH = 64
 
 
@@ -306,9 +306,9 @@ def _conv_dilated_final(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 # Like PALLAS_HEAD_MAX_BATCH: above this many (stem * tile) rows the XLA
-# encoder front wins (the kernels' host-side pack/unpack transposes scale
-# with batch; measured on v5e at the 300 s offline workload, S*B = 204:
-# XLA U-Net 75.2 ms vs Pallas-encoder 87.8 ms -- docs/PERF.md round 3).
+# encoder front won over the ROUND-3 kernel (docs/PERF.md round-4 study:
+# the unpack boundary + serialized DMAs). Superseded by _use_packed_unet
+# for the standard architecture.
 PALLAS_ENCODER_MAX_BATCH = 64
 
 

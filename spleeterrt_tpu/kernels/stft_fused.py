@@ -116,8 +116,8 @@ def _inv_tables():
     concatenate). w1r_hi: same for d in [32, 64) -- only Nyquist (d = 32)
     survives its scale table, and its imag is dropped like jnp.fft.irfft.
     tr/ti: (64, 64) twiddle exp(+2pi i c b / N)[c, b].
-    e2t: (64, 128) stage-2 static LHS: out[a, b] = Re sum_c E[c, a] w[c, b]
-    -> lhs[a, 0:64) = cos(2pi a c / 64), lhs[a, 64:) = -sin(...).
+    e2t: (128, 64) stage-2 rhs: out[b, a] = Re sum_c E[c, a] w^T[b, c]
+    -> rows [0:64) = cos(2pi a c / 64), rows [64:) = -sin(...).
     """
     i = np.arange(R)
     e64 = np.exp(2j * np.pi * np.outer(i, i) / R)
@@ -136,8 +136,8 @@ def _inv_tables():
     ).astype(np.float32)
     w1r_hi = pack_rhs(e_hi)
     e2t = np.concatenate(
-        [e64.real.T, -e64.imag.T], axis=1
-    ).astype(np.float32)  # (64 a, 128 [c_r | c_i])
+        [e64.real, -e64.imag], axis=0
+    ).astype(np.float32)  # (128 [c_r; c_i], 64 a); e64 symmetric
     return (
         w1r_lo, w1i_lo, w1r_hi,
         np.asarray(tw.real, np.float32), np.asarray(tw.imag, np.float32),
@@ -341,65 +341,79 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
     sr_mid = srm_ref[:] * live
     si_mid = sim_ref[:] * live
     sr_hi = srh_ref[:] * live
-    y_r = yr_ref[0]  # (FB_INV, 64, 64) [c, d]
-    y_i = yi_ref[0]
     tr = tr_ref[:]
     ti = ti_ref[:]
     win = win_ref[:].reshape(1, R, R)
+    sfb = n_stems * FB_INV
+
+    # Every stage below runs ALL STEMS in one batched op (stems fold into
+    # the leading/matmul-M axis): 4x fewer, 4x larger matmuls + relayouts
+    # than the round-3 per-stem loop.
+    uw = uw_ref[:].reshape(n_stems, 1, 1, 1)
+    m = m_ref[:, 0, 0]  # (S, FB_INV, 64, mask_d)
+    y_r = jnp.broadcast_to(yr_ref[0][None], (n_stems, FB_INV, R, R))
+    y_i = jnp.broadcast_to(yi_ref[0][None], (n_stems, FB_INV, R, R))
 
     def k32(x, w):
         return jnp.dot(
-            x.reshape(FB_INV * R, x.shape[-1]), w,
+            x.reshape(sfb * R, x.shape[-1]), w,
             preferred_element_type=jnp.float32,
         )
 
-    for s in range(n_stems):
-        m = m_ref[s, 0, 0]  # (FB_INV, 64, mask_d)
-        uw = uw_ref[0, s]
-        # Stage 1 over d: K-split matmuls (in-band / out-of-band-mid /
-        # Nyquist-high), complex packing on the N axis -- no concats.
-        z = (
-            k32(y_r[..., :mask_d] * m * sr_in, w1rl_ref[:mask_d])
-            + k32(y_i[..., :mask_d] * m * si_in, w1il_ref[:mask_d])
-            + k32(y_r[..., mask_d:D_LO] * (uw * sr_mid), w1rl_ref[mask_d:])
-            + k32(y_i[..., mask_d:D_LO] * (uw * si_mid), w1il_ref[mask_d:])
-            + k32(y_r[..., D_LO:] * (uw * sr_hi), w1rh_ref[:])
-        ).reshape(FB_INV, R, 2 * R)  # [c, b_r | b_i]
-        z_r = z[..., :R]
-        z_i = z[..., R:]
-        w_r = z_r * tr - z_i * ti
-        w_i = z_r * ti + z_i * tr
-        # Stage 2 over c: one static-LHS dot_general (shared table held
-        # stationary, all frames stream through as one N = FB*64 matmul)
-        # + a single small (a, f) relayout into row-major time order.
-        wpack = jnp.concatenate([w_r, w_i], axis=1)  # (FB_INV, 128, 64)
-        o = jax.lax.dot_general(
-            e2t_ref[:], wpack,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (64 a, FB_INV, 64 b)
-        frames = o.transpose(1, 0, 2) * win  # (FB_INV, 64, 64)
+    # Stage 1 over d: K-split matmuls (in-band / out-of-band-mid /
+    # Nyquist-high), complex packing on the N axis -- no concats.
+    z = (
+        k32(y_r[..., :mask_d] * m * sr_in, w1rl_ref[:mask_d])
+        + k32(y_i[..., :mask_d] * m * si_in, w1il_ref[:mask_d])
+        + k32(y_r[..., mask_d:D_LO] * (uw * sr_mid), w1rl_ref[mask_d:])
+        + k32(y_i[..., mask_d:D_LO] * (uw * si_mid), w1il_ref[mask_d:])
+        + k32(y_r[..., D_LO:] * (uw * sr_hi), w1rh_ref[:])
+    ).reshape(sfb, R, 2 * R)  # [c, b_r | b_i]
+    z_r = z[..., :R]
+    z_i = z[..., R:]
+    w_r = z_r * tr - z_i * ti
+    w_i = z_r * ti + z_i * tr
+    # Stage 2 over c: c must move from sublanes to lanes -- the chain's one
+    # unavoidable relayout (batched over stems x frames). zt rows [0:64)
+    # then hold w_r^T = [b, c] and [64:) w_i^T; the lane re-concat makes
+    # rows (f, b) with lanes [c_r | c_i], and the single K = 128 matmul
+    # lands in row-major [a? no: [b rows -- see e2tt] time order.
+    wpack = jnp.concatenate([w_r, w_i], axis=-1)  # (sfb, 64 c, 128)
+    zt = jnp.swapaxes(wpack, 1, 2)  # (sfb, 128, 64): [b | b] x c
+    x2 = jnp.concatenate([zt[:, :R], zt[:, R:]], axis=-1)  # (sfb, 64 b, 128)
+    o = jnp.dot(
+        x2.reshape(sfb * R, 2 * R), e2t_ref[:],
+        preferred_element_type=jnp.float32,
+    ).reshape(sfb, R, R)  # [b, a] per frame
+    frames = jnp.swapaxes(o, 1, 2) * win  # (sfb, 64 a, 64 b) row-major
 
-        # Overlap-add: frame f covers output rows [16 f, 16 f + 64); the
-        # four hop chunks become leading-axis-shifted streams.
-        chunks = frames.reshape(FB_INV, LAP, CHUNK_ROWS, R)
-        acc = None
-        for c in range(LAP):
-            parts = [chunks[:, c]]  # stream c lands at rows [c, c + FB_INV)
-            if c:
-                parts.insert(0, jnp.zeros((c, CHUNK_ROWS, R), jnp.float32))
-            if LAP - 1 - c:
-                parts.append(
-                    jnp.zeros((LAP - 1 - c, CHUNK_ROWS, R), jnp.float32)
-                )
-            part = jnp.concatenate(parts, axis=0)  # (FB_INV + 3, 16, 64)
-            acc = part if acc is None else acc + part
-        head = acc[: LAP - 1].reshape(TAIL_ROWS, R) + carry[s]
-        carry[s] = acc[FB_INV : FB_INV + LAP - 1].reshape(TAIL_ROWS, R)
-        out = jnp.concatenate(
-            [head.reshape(LAP - 1, CHUNK_ROWS, R), acc[LAP - 1 : FB_INV]], axis=0
-        )
-        out_ref[s, 0, 0] = out.reshape(FB_INV * CHUNK_ROWS, R)
+    # Overlap-add: frame f covers output rows [16 f, 16 f + 64); the
+    # four hop chunks become leading-axis-shifted streams, batched over
+    # stems on the leading axis.
+    chunks = frames.reshape(n_stems, FB_INV, LAP, CHUNK_ROWS, R)
+    acc = None
+    for c in range(LAP):
+        parts = [chunks[:, :, c]]  # stream c lands at rows [c, c + FB_INV)
+        if c:
+            parts.insert(
+                0, jnp.zeros((n_stems, c, CHUNK_ROWS, R), jnp.float32)
+            )
+        if LAP - 1 - c:
+            parts.append(
+                jnp.zeros((n_stems, LAP - 1 - c, CHUNK_ROWS, R), jnp.float32)
+            )
+        part = jnp.concatenate(parts, axis=1)  # (S, FB_INV + 3, 16, 64)
+        acc = part if acc is None else acc + part
+    head = acc[:, : LAP - 1].reshape(n_stems, TAIL_ROWS, R) + carry[:]
+    carry[:] = acc[:, FB_INV : FB_INV + LAP - 1].reshape(n_stems, TAIL_ROWS, R)
+    out = jnp.concatenate(
+        [
+            head.reshape(n_stems, LAP - 1, CHUNK_ROWS, R),
+            acc[:, LAP - 1 : FB_INV],
+        ],
+        axis=1,
+    )
+    out_ref[:, 0, 0] = out.reshape(n_stems, FB_INV * CHUNK_ROWS, R)
 
 
 @functools.partial(jax.jit, static_argnames=("bin_limit", "n_frames"))
@@ -429,7 +443,7 @@ def masked_istft4096_cd(
         raise ValueError("masks_cd d-lanes must equal bin_limit // 64")
     nblocks = n_pad // FB_INV
     m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, mask_d)
-    uw = out_band.astype(jnp.float32).reshape(1, n_stems)
+    uw = out_band.astype(jnp.float32).reshape(n_stems, 1)
     w1rl, w1il, w1rh, tr, ti, e2t = _inv_tables()
     sr_in, si_in, sr_mid, si_mid, sr_hi = _scale_tables(mask_d)
 
@@ -458,10 +472,10 @@ def masked_istft4096_cd(
                 lambda r, b: (0, r, clamp(b), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # out-of-band weights
+            tbl((masks_cd.shape[0], 1)),  # out-of-band weights
             tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)),
             tbl((R, R)), tbl((R, R)),  # twiddle
-            tbl((R, 2 * R)),  # stage-2 static LHS
+            tbl((2 * R, R)),  # stage-2 packed rhs (e2t)
             tbl((R, mask_d)), tbl((R, mask_d)),  # in-band scales
             tbl((R, D_LO - mask_d)), tbl((R, D_LO - mask_d)),  # mid scales
             tbl((R, D_LO)),  # Nyquist-high scale
