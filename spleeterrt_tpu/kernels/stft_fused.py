@@ -487,6 +487,12 @@ def masked_istft4096_cd(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((n_stems, TAIL_ROWS, R), jnp.float32)],
+        # The stems-batched step's temporaries exceed the default 16 MB
+        # scoped-vmem budget by ~0.6 MB at 4 stems; raise the cap (v5e has
+        # headroom above the default).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
     )(
         s_r, s_i, m, uw,
         jnp.asarray(w1rl), jnp.asarray(w1il), jnp.asarray(w1rh),
