@@ -542,7 +542,8 @@ def multi_stem_masks_cd(
 ) -> jax.Array | None:
     """Masks in the fused iSTFT's [c, d] layout, or None when the packed
     U-Net path does not apply (caller falls back to NHWC masks + one host
-    transpose). Returns (S, 2ch, B*T frames, 64, 32) with c + 64 d = bin
+    transpose). Returns (S, 2ch, B*T frames, 64, bin_limit//64) compact
+    in-band lanes with c + 64 d = bin
     (kernels/stft_fused.masked_istft4096_cd's mask contract); the tile
     batch B must be the track's time-ordered tile sequence."""
     from spleeterrt_tpu.kernels import tail

@@ -364,10 +364,13 @@ def separate_nstem_batch(
     )
     if masks_cd is not None:
         s = masks_cd.shape[0]
+        # Lane count is the COMPACT in-band d extent (bin_limit // 64), not
+        # the full 32-lane low half (regression: bench_batch r04).
+        d = masks_cd.shape[-1]
         masks_cd = (
-            masks_cd.reshape(s, rows, b, n_req, 64, 32)
+            masks_cd.reshape(s, rows, b, n_req, 64, d)
             .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(s, b * rows, n_req, 64, 32)
+            .reshape(s, b * rows, n_req, 64, d)
         )
         audio_out = stft_fused.masked_istft4096_cd(
             s_r, s_i, masks_cd, jnp.asarray(out_band), f,

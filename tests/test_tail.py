@@ -250,3 +250,52 @@ def test_fused_separation_with_packed_unet_cd_masks(rng):
         model.FORCE_PACKED_UNET = None
         separate.separate_nstem.clear_cache()
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_batched_separation_with_packed_unet_cd_masks(rng):
+    """separate_nstem_batch's [c, d] mask interleave == per-track canonical.
+
+    Regression: the batch path hard-coded 32 mask lanes while
+    unpack_mask_cd emits the COMPACT bin_limit//64 lanes (r04 bench_batch
+    crash); here bin_limit=512 -> 8 lanes exercises the interleave reshape.
+    """
+    import os
+    from unittest import mock
+
+    from spleeterrt_tpu.config import SeparatorConfig
+    from spleeterrt_tpu.core import separate, transform
+
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=4, compute_dtype=jnp.float32
+    )
+    params2 = [model.init_params(jax.random.PRNGKey(i)) for i in range(2)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params2)
+    tracks = jnp.asarray(rng.standard_normal((2, 2, 3 * 4096)) * 0.3, jnp.float32)
+    padded = jnp.stack(
+        [transform.pad_offline(t, cfg.transform) for t in tracks]
+    )
+    ob = (0.25, 0.0)
+
+    try:
+        model.FORCE_PACKED_UNET = False
+        separate.separate_nstem.clear_cache()
+        separate.separate_nstem_batch.clear_cache()
+        ref = np.stack(
+            [
+                np.asarray(
+                    separate.separate_nstem(stacked, p, cfg, ob, pallas=False)
+                )
+                for p in padded
+            ]
+        )
+        model.FORCE_PACKED_UNET = True
+        separate.separate_nstem_batch.clear_cache()
+        with mock.patch.dict(os.environ, {"SPLEETERRT_FUSED_STFT": "1"}):
+            got = np.asarray(
+                separate.separate_nstem_batch(stacked, padded, cfg, ob)
+            )
+    finally:
+        model.FORCE_PACKED_UNET = None
+        separate.separate_nstem.clear_cache()
+        separate.separate_nstem_batch.clear_cache()
+    np.testing.assert_allclose(got, ref, atol=5e-4)
