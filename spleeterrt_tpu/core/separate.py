@@ -169,6 +169,94 @@ def separate_2stem(
     return jnp.stack([vocal, residual])
 
 
+def _masks_cd_single(
+    params: Params, tiles: jax.Array, stem_mode: int, cfg: SeparatorConfig,
+    n_pad: int,
+) -> jax.Array:
+    """Single-net masks in the fused iSTFT's [c, d] layout:
+    (1, 2ch, n_pad, 64, bin_limit//64). Uses the packed U-Net head (which
+    emits this layout for free) when it applies, else the canonical forward
+    plus one transpose pass."""
+    from spleeterrt_tpu.core import model as model_mod
+    from spleeterrt_tpu.kernels import stft_fused
+
+    stacked1 = jax.tree.map(lambda a: a[None], params)
+    masks_cd = model_mod.multi_stem_masks_cd(
+        stacked1, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
+    )
+    if masks_cd is not None:
+        return masks_cd
+    masks = unet_forward(
+        params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
+    )  # (nt, T, F, 2)
+    nt, t, f, _ = masks.shape
+    masks_cf = masks.transpose(3, 0, 1, 2).reshape(1, 2, nt * t, f)
+    return stft_fused.masks_flat_to_cd(masks_cf, n_pad)
+
+
+def _separate_3stem_fused(
+    params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig,
+) -> jax.Array:
+    """Fused two-pass 3-stem graph (Executable/main.c:845-970): one Pallas
+    STFT, two U-Net mask passes, and ONE 3-stem batched masked-iSTFT.
+
+    The canonical graph runs three full iSTFTs on the original/residual
+    spectra. Here every stem is re-expressed as a mask on the ORIGINAL
+    packed spectrum, so one kernel launch emits all three audio streams:
+
+      drums    = istft(dm . s               | uw . s        out of band)
+      vocals   = istft((1-dm) vm . s        | uw (1-uw) . s out of band)
+      residual = istft((1-dm) . s           | (1-uw) . s    out of band)
+      accompaniment = residual - vocals  (time domain, main.c:955-967)
+
+    The identities hold exactly because masks scale the complex spectrum
+    elementwise by a real factor, so pass 2's input magnitude is also
+    computed in packed [c, d] form (|(1-dm) . s| bin by bin) -- the
+    residual spectrum never exists in HBM. Parity:
+    tests/test_stft_fused.py::test_separate_3stem_fused_equals_canonical.
+    """
+    from spleeterrt_tpu.kernels import stft_fused
+
+    tcfg = cfg.transform
+    data_size = audio.shape[-1]
+    n_out = transform.num_output_frames(data_size, tcfg)
+    n_comp = transform.num_computed_frames(data_size, tcfg)
+    nt = num_tiles(n_out, cfg.time_step)
+    n_req = nt * cfg.time_step
+    f = cfg.bin_limit
+    t = cfg.time_step
+    mask_d = f // 64
+
+    s_r, s_i = stft_fused.stft4096_packed(
+        audio, transform.analysis_window(tcfg.fft_size), n_comp, n_req
+    )
+    n_pad = s_r.shape[1]  # == n_req (time_step is a multiple of 32)
+    mag = stft_fused.packed_magnitude(s_r, s_i, f)
+    tiles = mag.reshape(2, nt, t, f).transpose(1, 2, 3, 0)
+    dm = _masks_cd_single(params4, tiles, STEM_MODE_4, cfg, n_pad)[0]
+
+    uw = cfg.unaffected_weight
+    inv = (1.0 - dm).astype(jnp.float32)  # residual in-band factor
+    # Pass-2 magnitude straight from the packed residual: the elementwise
+    # multiply fuses into the magnitude's transpose+hypot pass.
+    r_r = s_r[..., :mask_d] * inv
+    r_i = s_i[..., :mask_d] * inv
+    mag2 = jnp.sqrt(r_r * r_r + r_i * r_i).transpose(0, 1, 3, 2).reshape(
+        2, n_pad, f
+    )
+    tiles2 = mag2[:, :n_req].reshape(2, nt, t, f).transpose(1, 2, 3, 0)
+    vm = _masks_cd_single(params2, tiles2, STEM_MODE_2, cfg, n_pad)[0]
+
+    masks3 = jnp.stack([dm.astype(jnp.float32), inv * vm, inv])
+    out_band = jnp.asarray([uw, uw * (1.0 - uw), 1.0 - uw], jnp.float32)
+    stems = stft_fused.masked_istft4096_cd(
+        s_r, s_i, masks3, out_band, f, transform.synthesis_window(tcfg),
+        n_out,
+    )
+    drums, vocals, residual = stems
+    return jnp.stack([drums, vocals, residual - vocals])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
 def separate_3stem(
     params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig,
@@ -179,6 +267,8 @@ def separate_3stem(
     for vocals; accompaniment = istft(residual) - vocals in time.
     Returns (3, 2ch, out_len) ordered (drums, vocals, accompaniment)."""
     data_size = audio.shape[-1]
+    if pallas and _fused_stft_ok(cfg):
+        return _separate_3stem_fused(params4, params2, audio, cfg)
     spec = transform.stft(audio, cfg.transform, data_size)
     drum_masks = compute_masks(params4, spec, cfg, STEM_MODE_4, pallas)
     drum_spec = apply_mask(spec, drum_masks, cfg)
@@ -312,31 +402,15 @@ def separate_nstem(
     return jax.vmap(one)(masks, uw)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_band", "pallas"))
-def separate_nstem_batch(
+def _nstem_batch_fused(
     stacked_params: Params,
     tracks: jax.Array,  # (B, 2, n) equal-length pre-padded tracks
     cfg: SeparatorConfig,
     out_band: tuple[float, ...],
-    pallas: bool = True,
+    stem_mode: int,
 ) -> jax.Array:
-    """Batched multi-track N-stem graph -> (B, S, 2, out_len).
-
-    The fused path folds the track batch into the Pallas kernels' row axis
-    (one launch covers every track) instead of vmapping `separate_nstem` --
-    the manual-DMA kernels are not vmappable, and a single big launch is
-    also the efficient serving shape (benchmarks/bench_batch.py).
-    """
+    """Fused body of `separate_nstem_batch` -> (B, S, 2, out_len)."""
     b, rows, data_size = tracks.shape
-    if not (pallas and _fused_stft_ok(cfg)):
-        # Per-track Pallas kernels are forced off inside the vmap: the
-        # manual-DMA kernels (pallas_fft masked-iSTFT, encoder/head) are not
-        # vmappable, so a vmapped trace with pallas=True would crash at
-        # trace time (e.g. SPLEETERRT_FUSED_STFT=0 on an accelerator).
-        return jax.vmap(
-            lambda a: separate_nstem(stacked_params, a, cfg, out_band, False)
-        )(tracks)
-
     from spleeterrt_tpu.kernels import stft_fused
 
     tcfg = cfg.transform
@@ -360,7 +434,7 @@ def separate_nstem_batch(
     from spleeterrt_tpu.core import model as model_mod
 
     masks_cd = model_mod.multi_stem_masks_cd(
-        stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+        stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
     )
     if masks_cd is not None:
         s = masks_cd.shape[0]
@@ -378,7 +452,7 @@ def separate_nstem_batch(
         )
     else:
         masks = multi_stem_forward(
-            stacked_params, tiles, STEM_MODE_4, cfg.compute_dtype, cfg.sigmoid
+            stacked_params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
         )  # (S, B*nt, T, F, 2)
         s = masks.shape[0]
         masks_cf = (
@@ -392,6 +466,58 @@ def separate_nstem_batch(
         )  # (S, B*2, out_len)
     out_len = audio_out.shape[-1]
     return audio_out.reshape(s, b, rows, out_len).transpose(1, 0, 2, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_band", "pallas"))
+def separate_nstem_batch(
+    stacked_params: Params,
+    tracks: jax.Array,  # (B, 2, n) equal-length pre-padded tracks
+    cfg: SeparatorConfig,
+    out_band: tuple[float, ...],
+    pallas: bool = True,
+) -> jax.Array:
+    """Batched multi-track N-stem graph -> (B, S, 2, out_len).
+
+    The fused path folds the track batch into the Pallas kernels' row axis
+    (one launch covers every track) instead of vmapping `separate_nstem` --
+    the manual-DMA kernels are not vmappable, and a single big launch is
+    also the efficient serving shape (benchmarks/bench_batch.py).
+    """
+    if not (pallas and _fused_stft_ok(cfg)):
+        # Per-track Pallas kernels are forced off inside the vmap: the
+        # manual-DMA kernels (pallas_fft masked-iSTFT, encoder/head) are not
+        # vmappable, so a vmapped trace with pallas=True would crash at
+        # trace time (e.g. SPLEETERRT_FUSED_STFT=0 on an accelerator).
+        return jax.vmap(
+            lambda a: separate_nstem(stacked_params, a, cfg, out_band, False)
+        )(tracks)
+    return _nstem_batch_fused(stacked_params, tracks, cfg, out_band, STEM_MODE_4)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
+def separate_2stem_batch(
+    params: Params,  # single net, NO leading stem axis
+    tracks: jax.Array,  # (B, 2, n) equal-length pre-padded tracks
+    cfg: SeparatorConfig,
+    pallas: bool = True,
+) -> jax.Array:
+    """Batched single-net 2-stem graph -> (B, 2 stems, 2ch, out_len).
+
+    The reference's offline 2-stem semantics per track
+    (Executable/main.c:773,779-808): vocals = istft(mask * spec) with
+    `unaffected_weight` (0.1) out of band; accompaniment = track - vocals
+    in the time domain. The fused path folds the track batch into the
+    Pallas kernels' row axis like `separate_nstem_batch`."""
+    b, rows, data_size = tracks.shape
+    if not (pallas and _fused_stft_ok(cfg)):
+        return jax.vmap(lambda a: separate_2stem(params, a, cfg, False))(tracks)
+    stacked1 = jax.tree.map(lambda a: a[None], params)
+    vocal = _nstem_batch_fused(
+        stacked1, tracks, cfg, (cfg.unaffected_weight,), STEM_MODE_2
+    )[:, 0]  # (B, 2ch, out_len)
+    pad = vocal.shape[-1] - data_size
+    residual = jnp.pad(tracks, ((0, 0), (0, 0), (0, pad))) - vocal
+    return jnp.stack([vocal, residual], axis=1)
 
 
 def separate_4stem(

@@ -139,6 +139,64 @@ def test_separate_4stem_fused_equals_canonical(rng, monkeypatch, interpret_palla
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_separate_2stem_batch_fused_equals_per_track(rng, monkeypatch, interpret_pallas):
+    """The batched single-net 2-stem graph's fused path (track batch folded
+    into the kernel row axis, STEM_MODE_2 activations) vs the per-track
+    canonical formulation (Executable/main.c:773,779-808)."""
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
+    )
+    params = model.init_params(jax.random.PRNGKey(5))
+    tracks = jnp.asarray(
+        rng.standard_normal((3, 2, 2 * 4096)), jnp.float32
+    ) * 0.3
+    padded = jax.vmap(
+        lambda a: transform.pad_offline(a, cfg.transform)
+    )(tracks)
+
+    ref = np.stack(
+        [np.asarray(separate.separate_2stem(params, p, cfg)) for p in padded]
+    )
+
+    monkeypatch.setenv("SPLEETERRT_FUSED_STFT", "1")
+    separate.separate_2stem_batch.clear_cache()
+    try:
+        got = np.asarray(separate.separate_2stem_batch(params, padded, cfg))
+    finally:
+        monkeypatch.delenv("SPLEETERRT_FUSED_STFT")
+        separate.separate_2stem_batch.clear_cache()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_separate_3stem_fused_equals_canonical(rng, monkeypatch, interpret_pallas):
+    """The fused 3-stem graph (one STFT, one 3-stem masked-iSTFT with
+    composed masks on the original spectrum) vs the canonical two-pass
+    formulation (three full iSTFTs, Executable/main.c:845-970)."""
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=3, compute_dtype=jnp.float32
+    )
+    params4 = model.init_params(jax.random.PRNGKey(1))
+    params2 = model.init_params(jax.random.PRNGKey(2))
+    audio = jnp.asarray(rng.standard_normal((2, 3 * 4096)), jnp.float32) * 0.3
+    padded = transform.pad_offline(audio, cfg.transform)
+
+    ref = np.asarray(separate.separate_3stem(params4, params2, padded, cfg))
+
+    monkeypatch.setenv("SPLEETERRT_FUSED_STFT", "1")
+    separate.separate_3stem.clear_cache()
+    try:
+        got = np.asarray(separate.separate_3stem(params4, params2, padded, cfg))
+    finally:
+        monkeypatch.delenv("SPLEETERRT_FUSED_STFT")
+        separate.separate_3stem.clear_cache()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # 3-stem conservation: drums + vocals + accompaniment reconstruct the
+    # unaffected-weight-blended input exactly as the canonical graph does.
+    np.testing.assert_allclose(got[1] + got[2], ref[1] + ref[2], atol=2e-4)
+
+
 def test_separate_2stem_fused_equals_canonical(rng, monkeypatch, interpret_pallas):
     cfg = SeparatorConfig(
         bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
