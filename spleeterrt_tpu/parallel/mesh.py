@@ -161,7 +161,19 @@ def make_batch_fn(cfg: SeparatorConfig, mesh: Mesh, n_stems: int):
         OUT_BAND_4, OUT_BAND_5, separate_nstem_batch,
     )
 
-    out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}.get(n_stems, (0.25,) * n_stems)
+    if n_stems not in (4, 5):
+        # The per-stem out-of-band weights are a property of the stem
+        # FAMILY, not the count: guessing them silently would apply the RT
+        # engine's 4-stem weights to e.g. a 2-net batch, where the
+        # reference's 2-stem offline graph uses unaffected_weight=0.1 plus
+        # a time-domain residual (Executable/main.c:773,794-798) -- that
+        # graph is make_batch2_fn / separate_2stem_batch_sharded.
+        raise ValueError(
+            f"make_batch_fn supports the 4- and 5-stem families, got "
+            f"{n_stems} stacked nets; for the single-net 2-stem offline "
+            f"graph use make_batch2_fn / separate_2stem_batch_sharded"
+        )
+    out_band = {4: OUT_BAND_4, 5: OUT_BAND_5}[n_stems]
     n_devices = mesh.devices.size
     flat = Mesh(mesh.devices.reshape(-1), ("data",))
 
@@ -173,6 +185,42 @@ def make_batch_fn(cfg: SeparatorConfig, mesh: Mesh, n_stems: int):
         check_vma=False,  # pallas_call declares no mesh-varying info
     )
     return jax.jit(fn), n_devices
+
+
+@functools.lru_cache(maxsize=64)
+def make_batch2_fn(cfg: SeparatorConfig, mesh: Mesh):
+    """Cached jitted (params, tracks) -> (B, 2, 2ch, out_len) for the
+    single-net 2-stem offline graph (Executable/main.c:779-808), tracks
+    shard_mapped over the flattened mesh with the fused kernels live."""
+    from spleeterrt_tpu.core.separate import separate_2stem_batch
+
+    flat = Mesh(mesh.devices.reshape(-1), ("data",))
+
+    def local(params, tracks):
+        return separate_2stem_batch(params, tracks, cfg)
+
+    fn = jax.shard_map(
+        local, mesh=flat, in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False,  # pallas_call declares no mesh-varying info
+    )
+    return jax.jit(fn), flat.devices.size
+
+
+def separate_2stem_batch_sharded(
+    params: Params,  # single net, NO leading stem axis
+    tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Batched 2-stem separation with tracks sharded over the mesh;
+    returns (n_tracks, 2 stems, 2ch, out_len). Track counts not divisible
+    by the device count are zero-padded and cropped."""
+    fn, n_devices = make_batch2_fn(cfg, mesh)
+    n_tracks = tracks.shape[0]
+    padded = -(-n_tracks // n_devices) * n_devices
+    if padded != n_tracks:
+        tracks = jnp.pad(tracks, ((0, padded - n_tracks), (0, 0), (0, 0)))
+    return fn(params, tracks)[:n_tracks]
 
 
 def separate_batch_sharded(
@@ -343,28 +391,52 @@ def stream_scan_sharded(
     mesh: Mesh,
     n_stems: int = 4,
     out_band: tuple[float, ...] | None = None,
+    freq_temporal: float = 1.0,
 ) -> jax.Array:
     """Streaming engine with the per-stem U-Nets sharded over "stem".
 
     The mesh mapping of the VST's 4 background NN threads
-    (VST/Source/Spleeter4Stems.c TASK_NB=5): each stem group's mask
-    inference runs on its own devices; the transform/overlap-add state is
-    replicated (it is <1% of the work). Output matches runtime.stream
-    .stream_scan exactly.
+    (VST/Source/Spleeter4Stems.c TASK_NB=5): under `shard_map`, each stem
+    group's devices scan the whole signal for THEIR stems with the fused
+    Pallas kernels live -- mask inference, masked synthesis, and
+    overlap-add are all per-stem, so there is zero cross-device
+    communication; only the analysis rFFT (<1% of the work) is computed
+    redundantly per group. Output matches runtime.stream.stream_scan
+    (tests/test_sharding.py). Stem counts that do not divide the "stem"
+    axis fall back to the GSPMD formulation with the kernels disabled
+    (XLA cannot auto-partition custom calls).
     """
     from spleeterrt_tpu.runtime import stream as stream_mod
 
     if out_band is None:
         out_band = stream_mod.RT_OUT_BAND[:n_stems]
+    n_stem_ax = mesh.shape["stem"]
+
+    if n_stems % n_stem_ax == 0:
+        s_local = n_stems // n_stem_ax
+        uw = jnp.asarray(out_band, jnp.float32)
+
+        def local(params, uw_l, audio):
+            return stream_mod._stream_scan_impl(
+                params, audio, cfg, s_local, uw_l, True, freq_temporal
+            )
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("stem"), P("stem"), P()),
+            out_specs=P("stem"),
+            check_vma=False,  # pallas_call declares no mesh-varying info
+        )
+        return jax.jit(fn)(stacked_params, uw, audio)
+
     params = shard_params(stacked_params, mesh, stem_sharded=True)
 
     def fn(params, audio):
         # pallas=False: this graph runs under GSPMD auto-partitioning (stem
-        # axis sharded), where custom calls cannot be partitioned. High
-        # streams/chip serving uses block_step_streams per device instead
-        # (benchmarks/bench_stream.py), which keeps the fused kernels.
+        # axis sharded), where custom calls cannot be partitioned.
         return stream_mod.stream_scan(
-            params, audio, cfg, n_stems, out_band, pallas=False
+            params, audio, cfg, n_stems, out_band, pallas=False,
+            freq_temporal=freq_temporal,
         )
 
     return jax.jit(fn)(params, audio)

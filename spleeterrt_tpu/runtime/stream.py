@@ -140,29 +140,18 @@ def init_state_streams(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
-)
-def block_step_streams(
+def _block_step_streams_impl(
     stacked_params: Params,
     state: StreamState,  # leaves carry a leading stream axis K
     block_in: jax.Array,  # (K, 2, T * HOP)
     cfg: SeparatorConfig,
-    n_stems: int = 4,
-    out_band: tuple[float, ...] = RT_OUT_BAND,
-    pallas: bool = True,
-    freq_temporal: float = 1.0,
+    n_stems: int,
+    uw: jax.Array,  # (S,) out-of-band weights (traced: shard_map bodies
+    # pass their per-device stem slice, parallel/mesh.py)
+    pallas: bool,
+    freq_temporal: float,
 ):
-    """One timeStep block of K concurrent independent streams.
-
-    Returns (new_state, out_block (K, S, 2, T * HOP)). Batching K streams
-    into one dispatch is the TPU serving shape: the per-block U-Net call
-    feeds K tiles x S stems to the batch grid instead of a single starving
-    tile (the reference serves one stream per plugin instance,
-    VST/Source/Spleeter4Stems.c:512-582; a chip replaces a rack of them).
-    Stream k's output is sample-exact equal to running it alone.
-    """
+    """Un-jitted body of `block_step_streams`; see its docstring."""
     t = cfg.time_step
     k_streams = block_in.shape[0]
     wa, ws = asymmetric_windows(freq_temporal)
@@ -171,7 +160,6 @@ def block_step_streams(
 
     # --- Synthesis of this block's output from the carry ------------------
     bl = cfg.bin_limit
-    uw = jnp.asarray(out_band, jnp.float32)  # (S,)
     # masks (K, S, T, bl, 2) -> (K, S, 2, T, bl) aligning with spec.
     m_in = state.masks2.transpose(0, 1, 4, 2, 3)
     spec = state.spec2[:, None]  # (K, 1, 2, T, bins)
@@ -223,6 +211,35 @@ def block_step_streams(
     jax.jit,
     static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
 )
+def block_step_streams(
+    stacked_params: Params,
+    state: StreamState,  # leaves carry a leading stream axis K
+    block_in: jax.Array,  # (K, 2, T * HOP)
+    cfg: SeparatorConfig,
+    n_stems: int = 4,
+    out_band: tuple[float, ...] = RT_OUT_BAND,
+    pallas: bool = True,
+    freq_temporal: float = 1.0,
+):
+    """One timeStep block of K concurrent independent streams.
+
+    Returns (new_state, out_block (K, S, 2, T * HOP)). Batching K streams
+    into one dispatch is the TPU serving shape: the per-block U-Net call
+    feeds K tiles x S stems to the batch grid instead of a single starving
+    tile (the reference serves one stream per plugin instance,
+    VST/Source/Spleeter4Stems.c:512-582; a chip replaces a rack of them).
+    Stream k's output is sample-exact equal to running it alone.
+    """
+    return _block_step_streams_impl(
+        stacked_params, state, block_in, cfg, n_stems,
+        jnp.asarray(out_band, jnp.float32), pallas, freq_temporal,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
+)
 def block_step(
     stacked_params: Params,
     state: StreamState,
@@ -247,6 +264,36 @@ def block_step(
     return jax.tree.map(lambda a: a[0], new_state), out[0]
 
 
+def _stream_scan_impl(
+    stacked_params: Params,
+    audio: jax.Array,  # (2, n_blocks * T * HOP)
+    cfg: SeparatorConfig,
+    n_stems: int,
+    uw: jax.Array,  # (S,) out-of-band weights
+    pallas: bool,
+    freq_temporal: float,
+):
+    """Un-jitted scan over blocks; see `stream_scan`. `uw` is traced so a
+    shard_map body can run its local stem group (parallel/mesh.py)."""
+    t = cfg.time_step
+    n = audio.shape[-1]
+    n_blocks = n // (t * HOP)
+    blocks = audio[:, : n_blocks * t * HOP].reshape(2, n_blocks, t * HOP)
+    blocks = blocks.transpose(1, 0, 2)  # (n_blocks, 2, T*HOP)
+
+    def step(state, block_in):
+        state1 = jax.tree.map(lambda a: a[None], state)
+        new_state, out = _block_step_streams_impl(
+            stacked_params, state1, block_in[None], cfg, n_stems, uw,
+            pallas, freq_temporal,
+        )
+        return jax.tree.map(lambda a: a[0], new_state), out[0]
+
+    state = init_state(cfg, n_stems)
+    _, outs = jax.lax.scan(step, state, blocks)  # (n_blocks, S, 2, T*HOP)
+    return outs.transpose(1, 2, 0, 3).reshape(n_stems, 2, n_blocks * t * HOP)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_stems", "out_band", "pallas", "freq_temporal"),
@@ -266,21 +313,10 @@ def stream_scan(
     input around t - (2 * time_step + 1) * HOP (two blocks + one hop of
     intrinsic latency; see the module docstring).
     """
-    t = cfg.time_step
-    n = audio.shape[-1]
-    n_blocks = n // (t * HOP)
-    blocks = audio[:, : n_blocks * t * HOP].reshape(2, n_blocks, t * HOP)
-    blocks = blocks.transpose(1, 0, 2)  # (n_blocks, 2, T*HOP)
-
-    def step(state, block_in):
-        return block_step(
-            stacked_params, state, block_in, cfg, n_stems, out_band, pallas,
-            freq_temporal,
-        )
-
-    state = init_state(cfg, n_stems)
-    _, outs = jax.lax.scan(step, state, blocks)  # (n_blocks, S, 2, T*HOP)
-    return outs.transpose(1, 2, 0, 3).reshape(n_stems, 2, n_blocks * t * HOP)
+    return _stream_scan_impl(
+        stacked_params, audio, cfg, n_stems,
+        jnp.asarray(out_band, jnp.float32), pallas, freq_temporal,
+    )
 
 
 class StreamingSeparator:

@@ -205,6 +205,35 @@ def test_sharded_2stem_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_sharded_2stem_batch_matches_per_track(rng):
+    """Batched 2-stem offline graph (single net, uw 0.1 + time-domain
+    residual, Executable/main.c:773,794-798) sharded over the mesh matches
+    the per-track graph; and make_batch_fn rejects a 2-net stack loudly."""
+    import pytest
+
+    params = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    tracks = jnp.asarray(
+        rng.standard_normal((4, 2, 2 * 4096)), jnp.float32
+    ) * 0.3
+    padded = jax.vmap(lambda a: transform.pad_offline(a, CFG.transform))(tracks)
+
+    m = pmesh.make_mesh(stem_parallel=1)
+    got = pmesh.separate_2stem_batch_sharded(params, padded, CFG, m)
+    ref2 = separate.separate_2stem(params, padded[2], CFG)
+    assert got.shape[:2] == (4, 2)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref2), atol=2e-5)
+    # 2-stem conservation survives the batch: stems sum to the track.
+    ds = padded.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(got[1, 0] + got[1, 1])[:, :ds], np.asarray(padded[1]),
+        atol=1e-5,
+    )
+
+    stacked2 = weights.stack_params([params, params])
+    with pytest.raises(ValueError, match="2-stem"):
+        pmesh.separate_batch_sharded(stacked2, padded, CFG, m)
+
+
 def test_sharded_3stem_matches_unsharded(rng):
     params4 = weights.blob_to_params(weights.random_blob(rng, 0.02))
     params2 = weights.blob_to_params(weights.random_blob(rng, 0.015))
