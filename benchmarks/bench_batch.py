@@ -7,8 +7,12 @@ Measures `parallel.mesh.make_batch_fn` (single chip, 1-device mesh) at
 B in {1, 4, 16, 64} tracks per dispatch, VST 4-stem config.
 
 Per config prints one JSON line with:
-  audio samples/s/chip, total realtime factor, and MFU (XLA cost-analysis
-  FLOPs / wall time / 197 TFLOP/s v5e bf16 peak).
+  audio samples/s/chip, total realtime factor, and MFU (analytical
+  pipeline FLOPs -- bench._pipeline_flops, the U-Net convs + true-FFT
+  cost -- / wall time / 197 TFLOP/s v5e bf16 peak; XLA's cost analysis
+  cannot see inside Pallas custom calls so its FLOP count undercounts the
+  packed U-Net and fused transforms severalfold and is reported only as
+  xla_gflops for reference).
 
 Usage: python benchmarks/bench_batch.py [--reps 3]
 """
@@ -41,9 +45,12 @@ from spleeterrt_tpu.parallel import mesh as mesh_mod
 SR = 44100
 V5E_BF16_PEAK = 197e12
 
-# (tracks per dispatch, seconds per track): 64 x 15 s bounds the batch's
-# pre-overlap-add frame tensor (~5.6 GB) inside v5e HBM.
-CONFIGS = [(1, 60.0), (4, 60.0), (16, 60.0), (64, 15.0)]
+# (tracks per dispatch, seconds per track): per-dispatch audio is capped
+# near 8 track-minutes -- B16 x 60 s compiles to a 20.6 GB peak (masks +
+# packed spectra + output audio) and exceeds the 15.75 GB v5e HBM; B64 at
+# 7.5 s also OOMs because sub-tile tracks pad 57% of their frames
+# (time_step tiles are 5.94 s), so the short-track row is B32 x 15 s.
+CONFIGS = [(1, 60.0), (4, 60.0), (16, 30.0), (32, 15.0)]
 
 
 def main():
@@ -86,9 +93,12 @@ def main():
         lowered = run.lower(stacked, padded)
         compiled = lowered.compile()
         try:
-            flops = float(compiled.cost_analysis()["flops"])
+            xla_flops = float(compiled.cost_analysis()["flops"])
         except Exception:
-            flops = float("nan")
+            xla_flops = float("nan")
+        import bench  # repo-root bench.py: analytical FLOP model
+
+        flops = b * bench._pipeline_flops(seconds, cfg, 4)
 
         float(run(stacked, padded))  # warm
         best = float("inf")
@@ -101,15 +111,16 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"batch_B{b}_L{int(seconds)}s",
+                    "metric": f"batch_B{b}_L{seconds:g}s",
                     "value": round(total_audio * SR / best, 0),
                     "unit": "audio_samples_per_s_per_chip",
                     "vs_baseline": round(total_audio / best, 1),
                     "dispatch_ms": round(best * 1e3, 1),
-                    "mfu_pct": round(100 * flops / best / V5E_BF16_PEAK, 2)
-                    if flops == flops
+                    "mfu_pct": round(100 * flops / best / V5E_BF16_PEAK, 2),
+                    "analytical_gflops": round(flops / 1e9, 1),
+                    "xla_gflops": round(xla_flops / 1e9, 1)
+                    if xla_flops == xla_flops
                     else None,
-                    "xla_gflops": round(flops / 1e9, 1) if flops == flops else None,
                 }
             )
         )

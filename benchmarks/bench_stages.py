@@ -131,7 +131,9 @@ def main():
 
     results["masked_istft_fused_ms"] = timed_loop(fistft_body, s_r, s_i, masks_cf)
 
-    masks_cd = jnp.ones((4, 2, s_r.shape[1], 64, 32), jnp.float32)
+    masks_cd = jnp.ones(
+        (4, 2, s_r.shape[1], 64, cfg.bin_limit // 64), jnp.float32
+    )
 
     def fistft_cd_body(sr, si, m):
         out = stft_fused.masked_istft4096_cd(
