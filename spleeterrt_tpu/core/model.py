@@ -107,7 +107,12 @@ def _act_decoder(x: jax.Array, stem_mode: int) -> jax.Array:
 
 def _elu(x: jax.Array) -> jax.Array:
     # Denormal guard: x < -15 -> -1 exactly (Executable/spleeter.c:51-56).
-    safe = jnp.maximum(x, -15.0)
+    # The upper clamp never changes the forward value (expm1(safe) is only
+    # selected when x < 0) -- it keeps the BACKWARD finite: without it,
+    # d(expm1)/dx = exp(safe) overflows to inf wherever x > ~88, and the
+    # where-zeroed cotangent times inf is NaN (0 * inf), which killed
+    # training the moment any pre-activation crossed 88 (round-5 fix).
+    safe = jnp.clip(x, -15.0, 80.0)
     return jnp.where(x >= 0, x, jnp.where(x < -15.0, -1.0, jnp.expm1(safe)))
 
 

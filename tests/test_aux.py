@@ -20,6 +20,31 @@ def _state():
     return train.init_train_state(stacked, opt), opt
 
 
+def test_loss_grads_finite_at_huge_preactivations():
+    """ELU backward stability (round-5 regression): pre-activations past
+    exp's f32 overflow point (~88) must not NaN the gradients -- the
+    where-zeroed cotangent multiplied d(expm1) = exp(x) = inf into
+    0 * inf = NaN before _elu clamped its argument from above. Observed
+    killing real TPU training at step 88 of examples/train_and_deploy.py."""
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[model.init_params(jax.random.PRNGKey(i)) for i in range(2)],
+    )
+    # Blow up the first conv so its pre-activations far exceed 88.
+    stacked["down1"]["w"] = stacked["down1"]["w"] * 1e4
+    stacked["down1"]["b"] = stacked["down1"]["b"] + 500.0
+    mix = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, 64, 512, 2)))
+    tgt = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (2, 2, 64, 512, 2)))
+
+    loss, grads = jax.jit(
+        jax.value_and_grad(train.separation_loss),
+        static_argnames=("stem_mode",),
+    )(stacked, mix, tgt, stem_mode=1)
+    assert np.isfinite(float(loss))
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        assert bool(jnp.all(jnp.isfinite(g))), jax.tree_util.keystr(path)
+
+
 def test_checkpoint_round_trip(tmp_path):
     state, opt = _state()
     step = train.make_train_step(opt, compute_dtype=jnp.float32)
