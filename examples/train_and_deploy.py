@@ -21,8 +21,11 @@ examples/train_and_deploy_log.json (VERDICT round-3 item 8).
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -91,7 +94,13 @@ def main():
     out_dir = args.out or tempfile.mkdtemp(prefix="spleeterrt_deploy_")
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg = SeparatorConfig(bin_limit=512, time_step=64, num_stems=2)
+    # fp32 throughout: the toy corpus's loss magnitudes (~6e-4) sit at
+    # bf16's rounding scale, so bf16 training converges on CPU but can
+    # stall on the MXU's different accumulation order. Production training
+    # (examples/train.py) keeps the bf16 default on real-scale data.
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
+    )
     rng = np.random.default_rng(0)
     holdout = _ToneNoiseDataset(seeds=(101, 102), n=8 * SR)
     log = {"steps": args.steps, "batch": args.batch}
@@ -108,7 +117,7 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(stem_parallel=2 if n_dev % 2 == 0 else 1)
     state = train.shard_train_state(state, mesh, n_stems=2)
-    step = train.make_sharded_train_step(mesh, opt)
+    step = train.make_sharded_train_step(mesh, opt, compute_dtype=jnp.float32)
     t0 = time.perf_counter()
     losses = []
     for i in range(args.steps):
