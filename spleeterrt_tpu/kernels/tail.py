@@ -227,26 +227,24 @@ def _up_kernel_pair(a_ref, b_ref, wa_ref, wb_ref, epi_ref, out_ref,
     epi_ref: (1, 3, 256) f32 epilogue lane table.
     out_ref: (1, nqc, 2*t_in, 128) PK(cout) output, rows interleaved.
     """
-    tp = _round8(t_in + 2)
-
     def xc(x):
         sh = _sh_operand(x, nqc + 1)
-        return jnp.concatenate(
-            [sh[0:nqc], sh[1 : nqc + 1]], axis=-1
-        ).reshape(nqc * tp, 256)
+        return jnp.concatenate([sh[0:nqc], sh[1 : nqc + 1]], axis=-1)
 
-    xca = xc(a_ref[0])
+    xca = xc(a_ref[0])  # (nqc, tp, 256)
     xcb = xc(b_ref[0])
-    accs = []
+    # Row-tap a reads operand rows [a, a + t_in): slicing the bf16 OPERAND
+    # (matmul M rows are address-offset, not vreg-realigned) replaces the
+    # round-4 form's three misaligned f32 accumulator slice-adds, and every
+    # matmul shrinks from M = nqc*tp to the exact nqc*t_in.
+    acc = None
     for a in range(3):
-        za = jnp.dot(xca, wa_ref[0, a], preferred_element_type=jnp.float32)
-        zb = jnp.dot(xcb, wb_ref[0, a], preferred_element_type=jnp.float32)
-        accs.append((za + zb).reshape(nqc, tp, 256))
-    acc = (
-        accs[0][:, 0:t_in]
-        + accs[1][:, 1 : t_in + 1]
-        + accs[2][:, 2 : t_in + 2]
-    )
+        opa = xca[:, a : a + t_in].reshape(nqc * t_in, 256)
+        opb = xcb[:, a : a + t_in].reshape(nqc * t_in, 256)
+        z = jnp.dot(opa, wa_ref[0, a], preferred_element_type=jnp.float32)
+        z = z + jnp.dot(opb, wb_ref[0, a], preferred_element_type=jnp.float32)
+        acc = z if acc is None else acc + z
+    acc = acc.reshape(nqc, t_in, 256)
     _up_finish(acc, epi_ref, out_ref, act, nqc, t_in)
 
 
@@ -257,30 +255,27 @@ def _up_kernel_quad(a_ref, b_ref, wa0_ref, wam_ref, wap_ref, wb0_ref,
     (aligned quad for output columns {1, 2}; half-shifted sh / sh+1 for
     columns 0 / 3), pieces assembled into (dp, p, dq, co) lane order once.
     """
-    tp = _round8(t_in + 2)
     xa = a_ref[0]
     xb = b_ref[0]
     sha = _sh_operand(xa, nqc + 1)
     shb = _sh_operand(xb, nqc + 1)
-    flat = lambda x: x.reshape(nqc * tp, 128)
     ops = [
-        (flat(xa[1 : nqc + 1]), wa0_ref, flat(xb[1 : nqc + 1]), wb0_ref),
-        (flat(sha[0:nqc]), wam_ref, flat(shb[0:nqc]), wbm_ref),
-        (flat(sha[1 : nqc + 1]), wap_ref, flat(shb[1 : nqc + 1]), wbp_ref),
+        (xa[1 : nqc + 1], wa0_ref, xb[1 : nqc + 1], wb0_ref),
+        (sha[0:nqc], wam_ref, shb[0:nqc], wbm_ref),
+        (sha[1 : nqc + 1], wap_ref, shb[1 : nqc + 1], wbp_ref),
     ]
     pieces = []
     for xo_a, w_a, xo_b, w_b in ops:
-        accs = []
+        # Per-tap operand row slices instead of misaligned f32 accumulator
+        # slice-adds (see _up_kernel_pair).
+        acc = None
         for a in range(3):
-            za = jnp.dot(xo_a, w_a[0, a], preferred_element_type=jnp.float32)
-            zb = jnp.dot(xo_b, w_b[0, a], preferred_element_type=jnp.float32)
-            n = za.shape[-1]
-            accs.append((za + zb).reshape(nqc, tp, n))
-        pieces.append(
-            accs[0][:, 0:t_in]
-            + accs[1][:, 1 : t_in + 1]
-            + accs[2][:, 2 : t_in + 2]
-        )
+            opa = xo_a[:, a : a + t_in].reshape(nqc * t_in, 128)
+            opb = xo_b[:, a : a + t_in].reshape(nqc * t_in, 128)
+            z = jnp.dot(opa, w_a[0, a], preferred_element_type=jnp.float32)
+            z = z + jnp.dot(opb, w_b[0, a], preferred_element_type=jnp.float32)
+            acc = z if acc is None else acc + z
+        pieces.append(acc.reshape(nqc, t_in, acc.shape[-1]))
     p12, p0, p3 = pieces  # N orders: (dp,p2,dq,co)128 / (dp,dq,co)64 x2
     acc = jnp.concatenate(
         [
@@ -411,19 +406,21 @@ def _head_kernel(s1_ref, s5_ref, wa_ref, wb_ref, u7_ref, scal_ref, rowm_ref,
         return jnp.concatenate(
             [x4[0:ngy, 0], x4[0:ngy, 1], x4[1 : ngy + 1, 0], x4[1 : ngy + 1, 1]],
             axis=-1,
-        ).reshape(ngy * th, 512)
+        )  # (ngy, th, 512)
 
     xca = xc(xa)
     xcb = xc(xb)
 
-    accs = []
+    # Per-tap operand row slices instead of misaligned f32 accumulator
+    # slice-adds (see _up_kernel_pair); M shrinks from ngy*th to ngy*ty.
+    acc = None
     for a in range(3):
-        za = jnp.dot(xca, wa_ref[0, a], preferred_element_type=jnp.float32)
-        zb = jnp.dot(xcb, wb_ref[0, a], preferred_element_type=jnp.float32)
-        accs.append((za + zb).reshape(ngy, th, 64))
-    acc = (
-        accs[0][:, 0:ty] + accs[1][:, 1 : ty + 1] + accs[2][:, 2 : ty + 2]
-    )
+        opa = xca[:, a : a + ty].reshape(ngy * ty, 512)
+        opb = xcb[:, a : a + ty].reshape(ngy * ty, 512)
+        z = jnp.dot(opa, wa_ref[0, a], preferred_element_type=jnp.float32)
+        z = z + jnp.dot(opb, wb_ref[0, a], preferred_element_type=jnp.float32)
+        acc = z if acc is None else acc + z
+    acc = acc.reshape(ngy, ty, 64)
 
     # Epilogue: act BEFORE batch norm; cout = 1 so bias/BN are scalars.
     z = acc + scal_ref[0, 0:1, 0:1]
@@ -431,17 +428,20 @@ def _head_kernel(s1_ref, s5_ref, wa_ref, wb_ref, u7_ref, scal_ref, rowm_ref,
     y6 = scal_ref[0, 0:1, 1:2] * z + scal_ref[0, 0:1, 2:3]
     y6 = (y6 * rowm_ref[0] * qm_ref[0]).astype(xa.dtype)
 
-    # up7 parity-mix stage: identical to mask_head.
+    # up7 parity-mix stage (mask_head compute structure): each (q, a) term
+    # reads y6 rows [a + q, a + q + TT) -- slice the bf16 operand per term
+    # (address-offset M rows) instead of slicing the f32 product.
     yc = jnp.concatenate([y6[0:ngo], y6[1:ngy]], axis=-1)  # (ngo, ty, 128)
-    ycf = yc.reshape(ngo * ty, 128)
     b7l = scal_ref[0, 0:1, mask_head._SCAL_B7L : mask_head._SCAL_B7L + 64]
     for q in range(2):
-        oq = jnp.zeros((ngo, TT, 64), jnp.float32)
+        oq = None
         for a in range(4):
+            op = yc[:, a + q : a + q + TT].reshape(ngo * TT, 128)
             zqa = jnp.dot(
-                ycf, u7_ref[0, q, a], preferred_element_type=jnp.float32
-            ).reshape(ngo, ty, 64)
-            oq = oq + zqa[:, a + q : a + q + TT]
+                op, u7_ref[0, q, a], preferred_element_type=jnp.float32
+            )
+            oq = zqa if oq is None else oq + zqa
+        oq = oq.reshape(ngo, TT, 64)
         out_ref[0, :, :, 64 * q : 64 * q + 64] = jax.nn.sigmoid(oq + b7l)
 
 
