@@ -544,13 +544,20 @@ def multi_stem_masks_cd(
     stem_mode: int = STEM_MODE_4,
     compute_dtype=jnp.bfloat16,
     sigmoid: str = "exact",
+    layout: str = "cd",
 ) -> jax.Array | None:
     """Masks in the fused iSTFT's [c, d] layout, or None when the packed
     U-Net path does not apply (caller falls back to NHWC masks + one host
     transpose). Returns (S, 2ch, B*T frames, 64, bin_limit//64) compact
     in-band lanes with c + 64 d = bin
     (kernels/stft_fused.masked_istft4096_cd's mask contract); the tile
-    batch B must be the track's time-ordered tile sequence."""
+    batch B must be the track's time-ordered tile sequence.
+
+    layout="dcflat" returns (S, 2ch, B*T, bin_limit) in the iSTFT's flat
+    d-major layout instead (64*d + c): the same permute but with
+    contiguous-run writes, ~2x faster at production shape -- use it when
+    the masks feed masked_istft4096_cd directly; "cd" when the caller
+    multiplies them against the packed spectrum elementwise."""
     from spleeterrt_tpu.kernels import tail
 
     if not _use_packed_unet(stacked_params, magnitude, sigmoid):
@@ -560,7 +567,10 @@ def multi_stem_masks_cd(
     masks_packed = _packed_unet_core(
         stacked_params, magnitude, stem_mode, compute_dtype
     )
-    return tail.unpack_mask_cd(masks_packed, s, t // 2, f // 2)
+    unpack = (
+        tail.unpack_mask_dc_flat if layout == "dcflat" else tail.unpack_mask_cd
+    )
+    return unpack(masks_packed, s, t // 2, f // 2)
 
 
 def _multi_stem_trunk(

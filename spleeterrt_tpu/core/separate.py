@@ -326,7 +326,9 @@ def _separate_nstem_fused(
     )
     if masks_cd is not None:
         # Packed U-Net head -> the iSTFT's [c, d] mask layout directly
-        # (the bin-ordered mask tensor never exists in HBM).
+        # (the bin-ordered mask tensor never exists in HBM). The flat
+        # d-major variant measured SLOWER end to end (docs/PERF.md round-5
+        # negative results), so the [c, d] unpack stays.
         return stft_fused.masked_istft4096_cd(
             s_r, s_i, masks_cd, jnp.asarray(out_band), cfg.bin_limit,
             transform.synthesis_window(tcfg), n_out,

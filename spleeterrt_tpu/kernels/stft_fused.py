@@ -318,7 +318,8 @@ def masks_flat_to_cd(masks: jax.Array, n_pad: int) -> jax.Array:
 def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
                    w1rh_ref, tr_ref, ti_ref, e2t_ref, sri_ref, sii_ref,
                    srm_ref, sim_ref, srh_ref, win_ref, out_ref, carry,
-                   *, n_stems: int, nblocks: int, mask_d: int):
+                   *, n_stems: int, nblocks: int, mask_d: int,
+                   mask_flat: bool):
     """One (row, frame-block) step: all stems' mask + iFFT + window + OLA.
 
     yr/yi: (1, FB_INV, 64, 64) packed [c, d] spectrum block (shared).
@@ -349,7 +350,15 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
     # Every stage below runs ALL STEMS in one batched op (stems fold into
     # the leading/matmul-M axis): 4x fewer, 4x larger matmuls + relayouts
     # than the round-3 per-stem loop.
-    m = m_ref[:, 0, 0]  # (S, FB_INV, 64, mask_d)
+    if mask_flat:
+        # d-major masks (tail.unpack_mask_dc_flat, host-split to
+        # (.., mask_d, 64) -- a layout-neutral reshape): swap the small
+        # minor pair in VMEM, far cheaper than the XLA transpose writing
+        # 24-float runs. (Splitting the 1536-lane axis IN-kernel is an
+        # unsupported Mosaic shape cast; the host split keeps lanes = 64.)
+        m = jnp.swapaxes(m_ref[:, 0, 0], -1, -2)  # (S, FB_INV, 64, mask_d)
+    else:
+        m = m_ref[:, 0, 0]  # (S, FB_INV, 64, mask_d)
     y1_r = yr_ref[0]  # (FB_INV, 64, 64): the spectrum, shared by stems
     y1_i = yi_ref[0]
     y_r = jnp.broadcast_to(y1_r[None], (n_stems, FB_INV, R, R))
@@ -428,7 +437,9 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
 def masked_istft4096_cd(
     s_r: jax.Array,  # (rows, n_pad, 64, 64) [c, d] spectrum
     s_i: jax.Array,
-    masks_cd: jax.Array,  # (S, rows, n_pad, 64, bin_limit//64) [c, d]
+    masks_cd: jax.Array,  # (S, rows, n_pad, 64, bin_limit//64) [c, d], OR
+    # the FLAT d-major layout (S, rows, n_pad, bin_limit): flat index =
+    # 64*d + c (tail.unpack_mask_dc_flat); un-flattened per block in VMEM.
     out_band: jax.Array,  # (S,) float32 out-of-band weights
     bin_limit: int,
     window: jax.Array,  # (4096,) synthesis window (scale chain folded)
@@ -446,11 +457,16 @@ def masked_istft4096_cd(
     if n_pad % FB_INV:
         raise ValueError("spectrum frames must be 32-aligned (stft4096_packed)")
     n_stems = masks_cd.shape[0]
-    mask_d = masks_cd.shape[-1]
+    mask_flat = masks_cd.ndim == 4
+    mask_d = (masks_cd.shape[-1] // R) if mask_flat else masks_cd.shape[-1]
     if mask_d != bin_limit // R:
         raise ValueError("masks_cd d-lanes must equal bin_limit // 64")
     nblocks = n_pad // FB_INV
-    m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, mask_d)
+    if mask_flat:
+        # Layout-neutral minor split of the flat (.., 1536) axis.
+        m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, mask_d, R)
+    else:
+        m = masks_cd.reshape(n_stems, rows, nblocks, FB_INV, R, mask_d)
     uw = out_band.astype(jnp.float32).reshape(n_stems, 1)
     w1rl, w1il, w1rh, tr, ti, e2t = _inv_tables()
     sr_in, si_in, sr_mid, si_mid, sr_hi = _scale_tables(mask_d)
@@ -465,9 +481,23 @@ def masked_istft4096_cd(
     tbl = lambda shape: pl.BlockSpec(
         shape, lambda r, b: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    mask_spec = (
+        pl.BlockSpec(
+            (n_stems, 1, 1, FB_INV, mask_d, R),
+            lambda r, b: (0, r, clamp(b), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if mask_flat
+        else pl.BlockSpec(
+            (n_stems, 1, 1, FB_INV, R, mask_d),
+            lambda r, b: (0, r, clamp(b), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     out = pl.pallas_call(
         functools.partial(
             _mistft_kernel, n_stems=n_stems, nblocks=nblocks, mask_d=mask_d,
+            mask_flat=mask_flat,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_stems, rows, nblocks + 1, FB_INV * CHUNK_ROWS, R), jnp.float32
@@ -475,11 +505,7 @@ def masked_istft4096_cd(
         grid=(rows, nblocks + 1),
         in_specs=[
             spec_spec, spec_spec,
-            pl.BlockSpec(
-                (n_stems, 1, 1, FB_INV, R, mask_d),
-                lambda r, b: (0, r, clamp(b), 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            mask_spec,
             tbl((masks_cd.shape[0], 1)),  # out-of-band weights
             tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)), tbl((D_LO, 2 * R)),
             tbl((R, R)), tbl((R, R)),  # twiddle

@@ -574,3 +574,24 @@ def unpack_mask_cd(
     # (S, co, nt, u, q, m0par, c32, d)
     x = x.transpose(0, 7, 1, 4, 5, 3, 6, 2)
     return x.reshape(n_stems, 2, nt * 2 * t2, 64, d)
+
+
+def unpack_mask_dc_flat(
+    out: jax.Array, n_stems: int, t2: int, f2: int
+) -> jax.Array:
+    """Packed head output -> (S, 2ch, nt*2*t2 frames, d*64) masks in the
+    fused iSTFT's FLAT d-major layout (index = d*64 + c; see
+    stft_fused.masked_istft4096_cd's `masks_flat` contract).
+
+    Same permute as `unpack_mask_cd` up to the final axis order, but the
+    minor axes (d, m0par, c32) stay in source-contiguous order, so the
+    transpose WRITES stream in 1536-float contiguous runs instead of
+    24-float scattered runs -- measured ~2x faster at the production
+    shape; the kernel un-flattens per block in VMEM (cheap, pipelined)."""
+    sb, g = out.shape[:2]
+    nt = sb // n_stems
+    d = g // 2
+    x = out.reshape(n_stems, nt, d, 2, t2, 2, 32, 2)
+    # (S, co, nt, u, q, d, m0par, c32): flat = 64*d + 32*m0par + c32
+    x = x.transpose(0, 7, 1, 4, 5, 2, 3, 6)
+    return x.reshape(n_stems, 2, nt * 2 * t2, d * 64)

@@ -95,6 +95,51 @@ def test_masked_istft_packed_matches_canonical(rng, interpret_pallas):
     )
 
 
+def test_masked_istft_flat_masks_match_cd(rng, interpret_pallas):
+    """The flat d-major mask layout (tail.unpack_mask_dc_flat ->
+    masked_istft4096_cd's 4-D contract, un-flattened per block in VMEM)
+    is bit-identical to the 5-D [c, d] layout."""
+    padded, ds, n_out, n_comp, n_req, _ = _packed_setup(rng, n=70000)
+    tcfg = CFG.transform
+    s_r, s_i = stft_fused.stft4096_packed(
+        padded, transform.analysis_window(tcfg.fft_size), n_comp, n_req
+    )
+    n_pad = s_r.shape[1]
+    d = CFG.bin_limit // 64
+    masks_cd = jnp.asarray(
+        rng.uniform(0.0, 1.0, (2, 2, n_pad, 64, d)), jnp.float32
+    )
+    # flat index = 64*d + c  <=>  transpose the (c, d) minor pair.
+    masks_flat = jnp.swapaxes(masks_cd, -1, -2).reshape(2, 2, n_pad, d * 64)
+    uw = jnp.asarray([0.25, 0.1])
+    win = transform.synthesis_window(tcfg)
+    ref = stft_fused.masked_istft4096_cd(
+        s_r, s_i, masks_cd, uw, CFG.bin_limit, win, n_out
+    )
+    got = stft_fused.masked_istft4096_cd(
+        s_r, s_i, masks_flat, uw, CFG.bin_limit, win, n_out
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unpack_mask_dc_flat_consistent(rng):
+    """unpack_mask_dc_flat == unpack_mask_cd up to the documented minor
+    reordering (flat = 64*d + c)."""
+    from spleeterrt_tpu.kernels import tail
+
+    s, nt, t2, f2 = 2, 3, 8, 64
+    g = f2 // 16
+    out = jnp.asarray(
+        rng.standard_normal((s * nt, g, t2, 128)), jnp.float32
+    )
+    cd = np.asarray(tail.unpack_mask_cd(out, s, t2, f2))
+    flat = np.asarray(tail.unpack_mask_dc_flat(out, s, t2, f2))
+    d = g // 2
+    np.testing.assert_array_equal(
+        flat.reshape(s, 2, nt * 2 * t2, d, 64).transpose(0, 1, 2, 4, 3), cd
+    )
+
+
 def test_mask_of_ones_roundtrip(rng, interpret_pallas):
     """Unity-gain invariant: mask of ones + out_band 1.0 reproduces the
     input (the reference's scale-chain contract, Executable/stftFix.c)."""
