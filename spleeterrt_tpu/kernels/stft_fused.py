@@ -386,18 +386,17 @@ def _mistft_kernel(yr_ref, yi_ref, m_ref, uw_ref, w1rl_ref, w1il_ref,
     )  # (FB_INV * R, 128)
     uw2 = uw_ref[:].reshape(n_stems, 1, 1)
     z = (z_in + uw2 * z_oob[None]).reshape(sfb, R, 2 * R)  # [c, b_r | b_i]
-    z_r = z[..., :R]
-    z_i = z[..., R:]
-    w_r = z_r * tr - z_i * ti
-    w_i = z_r * ti + z_i * tr
     # Stage 2 over c: c must move from sublanes to lanes -- the chain's one
-    # unavoidable relayout (batched over stems x frames). zt rows [0:64)
-    # then hold w_r^T = [b, c] and [64:) w_i^T; the lane re-concat makes
-    # rows (f, b) with lanes [c_r | c_i], and the single K = 128 matmul
-    # lands in row-major [a? no: [b rows -- see e2tt] time order.
-    wpack = jnp.concatenate([w_r, w_i], axis=-1)  # (sfb, 64 c, 128)
-    zt = jnp.swapaxes(wpack, 1, 2)  # (sfb, 128, 64): [b | b] x c
-    x2 = jnp.concatenate([zt[:, :R], zt[:, R:]], axis=-1)  # (sfb, 64 b, 128)
+    # unavoidable relayout (batched over stems x frames). Transpose the
+    # complex halves BEFORE the twiddle: the twiddle tables are symmetric,
+    # so the elementwise multiply commutes with the transpose bit-for-bit,
+    # and two square 64x64 swaps replace round-4's pack-concat + 64x128
+    # swap + re-concat (one 2 MB lane concat per step dropped).
+    zt_r = jnp.swapaxes(z[..., :R], 1, 2)  # (sfb, 64 b, 64 c)
+    zt_i = jnp.swapaxes(z[..., R:], 1, 2)
+    wt_r = zt_r * tr - zt_i * ti  # [b, c]; tr/ti symmetric
+    wt_i = zt_r * ti + zt_i * tr
+    x2 = jnp.concatenate([wt_r, wt_i], axis=-1)  # (sfb, 64 b, 128 [c_r|c_i])
     o = jnp.dot(
         x2.reshape(sfb * R, 2 * R), e2t_ref[:],
         preferred_element_type=jnp.float32,
