@@ -169,36 +169,46 @@ def separate_2stem(
     return jnp.stack([vocal, residual])
 
 
-def _masks_cd_single(
+def _masks_cd_tracks(
     params: Params, tiles: jax.Array, stem_mode: int, cfg: SeparatorConfig,
-    n_pad: int,
+    b: int, rows: int, n_req: int, n_pad: int,
 ) -> jax.Array:
-    """Single-net masks in the fused iSTFT's [c, d] layout:
-    (1, 2ch, n_pad, 64, bin_limit//64). Uses the packed U-Net head (which
-    emits this layout for free) when it applies, else the canonical forward
-    plus one transpose pass."""
+    """Single-net [c, d] masks for a (b tracks, nt)-ordered tile batch ->
+    (b*rows, n_pad, 64, bin_limit//64) aligned with the packed spectrum's
+    row order (track-major, channel-minor). Packed U-Net head when it
+    applies, canonical forward + one transpose pass otherwise."""
     from spleeterrt_tpu.core import model as model_mod
     from spleeterrt_tpu.kernels import stft_fused
 
     stacked1 = jax.tree.map(lambda a: a[None], params)
-    masks_cd = model_mod.multi_stem_masks_cd(
+    mcd = model_mod.multi_stem_masks_cd(
         stacked1, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
     )
-    if masks_cd is not None:
-        return masks_cd
+    if mcd is not None:
+        d = mcd.shape[-1]
+        return (
+            mcd.reshape(1, rows, b, n_req, 64, d)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(b * rows, n_req, 64, d)
+        )
     masks = unet_forward(
         params, tiles, stem_mode, cfg.compute_dtype, cfg.sigmoid
-    )  # (nt, T, F, 2)
-    nt, t, f, _ = masks.shape
-    masks_cf = masks.transpose(3, 0, 1, 2).reshape(1, 2, nt * t, f)
-    return stft_fused.masks_flat_to_cd(masks_cf, n_pad)
+    )  # (b*nt, T, F, 2ch)
+    bnt, t, f, _ = masks.shape
+    masks_cf = (
+        masks.reshape(b, bnt // b, t, f, rows)
+        .transpose(0, 4, 1, 2, 3)
+        .reshape(1, b * rows, n_req, f)
+    )
+    return stft_fused.masks_flat_to_cd(masks_cf, n_pad)[0]
 
 
-def _separate_3stem_fused(
-    params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig,
+def _separate_3stem_fused_tracks(
+    params4: Params, params2: Params, tracks: jax.Array, cfg: SeparatorConfig,
 ) -> jax.Array:
-    """Fused two-pass 3-stem graph (Executable/main.c:845-970): one Pallas
-    STFT, two U-Net mask passes, and ONE 3-stem batched masked-iSTFT.
+    """Fused two-pass 3-stem graph (Executable/main.c:845-970) over a
+    track batch (B, 2ch, n) -> (B, 3, 2ch, out_len): one Pallas STFT, two
+    U-Net mask passes, and ONE 3-stem batched masked-iSTFT.
 
     The canonical graph runs three full iSTFTs on the original/residual
     spectra. Here every stem is re-expressed as a mask on the ORIGINAL
@@ -212,13 +222,15 @@ def _separate_3stem_fused(
     The identities hold exactly because masks scale the complex spectrum
     elementwise by a real factor, so pass 2's input magnitude is also
     computed in packed [c, d] form (|(1-dm) . s| bin by bin) -- the
-    residual spectrum never exists in HBM. Parity:
-    tests/test_stft_fused.py::test_separate_3stem_fused_equals_canonical.
+    residual spectrum never exists in HBM. The track batch folds into the
+    kernels' row axis exactly as in `separate_nstem_batch`. Parity:
+    tests/test_stft_fused.py::test_separate_3stem_fused_equals_canonical
+    and ::test_separate_3stem_batch_fused_equals_per_track.
     """
     from spleeterrt_tpu.kernels import stft_fused
 
     tcfg = cfg.transform
-    data_size = audio.shape[-1]
+    b, rows, data_size = tracks.shape
     n_out = transform.num_output_frames(data_size, tcfg)
     n_comp = transform.num_computed_frames(data_size, tcfg)
     nt = num_tiles(n_out, cfg.time_step)
@@ -228,12 +240,17 @@ def _separate_3stem_fused(
     mask_d = f // 64
 
     s_r, s_i = stft_fused.stft4096_packed(
-        audio, transform.analysis_window(tcfg.fft_size), n_comp, n_req
+        tracks.reshape(b * rows, data_size),
+        transform.analysis_window(tcfg.fft_size), n_comp, n_req,
     )
     n_pad = s_r.shape[1]  # == n_req (time_step is a multiple of 32)
     mag = stft_fused.packed_magnitude(s_r, s_i, f)
-    tiles = mag.reshape(2, nt, t, f).transpose(1, 2, 3, 0)
-    dm = _masks_cd_single(params4, tiles, STEM_MODE_4, cfg, n_pad)[0]
+    tiles = (
+        mag.reshape(b, rows, nt, t, f)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(b * nt, t, f, rows)
+    )
+    dm = _masks_cd_tracks(params4, tiles, STEM_MODE_4, cfg, b, rows, n_req, n_pad)
 
     uw = cfg.unaffected_weight
     inv = (1.0 - dm).astype(jnp.float32)  # residual in-band factor
@@ -242,19 +259,33 @@ def _separate_3stem_fused(
     r_r = s_r[..., :mask_d] * inv
     r_i = s_i[..., :mask_d] * inv
     mag2 = jnp.sqrt(r_r * r_r + r_i * r_i).transpose(0, 1, 3, 2).reshape(
-        2, n_pad, f
+        b * rows, n_pad, f
     )
-    tiles2 = mag2[:, :n_req].reshape(2, nt, t, f).transpose(1, 2, 3, 0)
-    vm = _masks_cd_single(params2, tiles2, STEM_MODE_2, cfg, n_pad)[0]
+    tiles2 = (
+        mag2[:, :n_req].reshape(b, rows, nt, t, f)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(b * nt, t, f, rows)
+    )
+    vm = _masks_cd_tracks(params2, tiles2, STEM_MODE_2, cfg, b, rows, n_req, n_pad)
 
     masks3 = jnp.stack([dm.astype(jnp.float32), inv * vm, inv])
     out_band = jnp.asarray([uw, uw * (1.0 - uw), 1.0 - uw], jnp.float32)
     stems = stft_fused.masked_istft4096_cd(
         s_r, s_i, masks3, out_band, f, transform.synthesis_window(tcfg),
         n_out,
-    )
+    )  # (3, b*rows, out_len)
     drums, vocals, residual = stems
-    return jnp.stack([drums, vocals, residual - vocals])
+    out = jnp.stack([drums, vocals, residual - vocals])
+    out_len = out.shape[-1]
+    return out.reshape(3, b, rows, out_len).transpose(1, 0, 2, 3)
+
+
+def _separate_3stem_fused(
+    params4: Params, params2: Params, audio: jax.Array, cfg: SeparatorConfig,
+) -> jax.Array:
+    """Single-track fused 3-stem graph: the B = 1 case of
+    `_separate_3stem_fused_tracks` (every batch interleave is a no-op)."""
+    return _separate_3stem_fused_tracks(params4, params2, audio[None], cfg)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
@@ -520,6 +551,25 @@ def separate_2stem_batch(
     pad = vocal.shape[-1] - data_size
     residual = jnp.pad(tracks, ((0, 0), (0, 0), (0, pad))) - vocal
     return jnp.stack([vocal, residual], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pallas"))
+def separate_3stem_batch(
+    params4: Params,
+    params2: Params,
+    tracks: jax.Array,  # (B, 2, n) equal-length pre-padded tracks
+    cfg: SeparatorConfig,
+    pallas: bool = True,
+) -> jax.Array:
+    """Batched two-pass 3-stem graph -> (B, 3, 2ch, out_len) ordered
+    (drums, vocals, accompaniment), Executable/main.c:845-970 semantics
+    per track. The fused path folds the track batch into the Pallas
+    kernels' row axis (see `_separate_3stem_fused_tracks`)."""
+    if pallas and _fused_stft_ok(cfg):
+        return _separate_3stem_fused_tracks(params4, params2, tracks, cfg)
+    return jax.vmap(
+        lambda a: separate_3stem(params4, params2, a, cfg, False)
+    )(tracks)
 
 
 def separate_4stem(

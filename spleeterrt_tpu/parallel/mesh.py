@@ -223,6 +223,43 @@ def separate_2stem_batch_sharded(
     return fn(params, tracks)[:n_tracks]
 
 
+@functools.lru_cache(maxsize=64)
+def make_batch3_fn(cfg: SeparatorConfig, mesh: Mesh):
+    """Cached jitted (params4, params2, tracks) -> (B, 3, 2ch, out_len)
+    for the two-pass 3-stem graph (Executable/main.c:845-970), tracks
+    shard_mapped over the flattened mesh with the fused kernels live."""
+    from spleeterrt_tpu.core.separate import separate_3stem_batch
+
+    flat = Mesh(mesh.devices.reshape(-1), ("data",))
+
+    def local(params4, params2, tracks):
+        return separate_3stem_batch(params4, params2, tracks, cfg)
+
+    fn = jax.shard_map(
+        local, mesh=flat, in_specs=(P(), P(), P("data")), out_specs=P("data"),
+        check_vma=False,  # pallas_call declares no mesh-varying info
+    )
+    return jax.jit(fn), flat.devices.size
+
+
+def separate_3stem_batch_sharded(
+    params4: Params,  # pass-1 (4-stem-family) net, NO leading stem axis
+    params2: Params,  # pass-2 (2-stem) net
+    tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length
+    cfg: SeparatorConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Batched 3-stem separation with tracks sharded over the mesh;
+    returns (n_tracks, 3 stems, 2ch, out_len). Track counts not divisible
+    by the device count are zero-padded and cropped."""
+    fn, n_devices = make_batch3_fn(cfg, mesh)
+    n_tracks = tracks.shape[0]
+    padded = -(-n_tracks // n_devices) * n_devices
+    if padded != n_tracks:
+        tracks = jnp.pad(tracks, ((0, padded - n_tracks), (0, 0), (0, 0)))
+    return fn(params4, params2, tracks)[:n_tracks]
+
+
 def separate_batch_sharded(
     stacked_params: Params,
     tracks: jax.Array,  # (n_tracks, 2, n) pre-padded to equal length

@@ -245,6 +245,23 @@ def test_sharded_3stem_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_sharded_3stem_batch_matches_per_track(rng):
+    """Batched two-pass 3-stem graph sharded over the mesh matches the
+    per-track graph (drums/vocals/accompaniment, main.c:845-970)."""
+    params4 = weights.blob_to_params(weights.random_blob(rng, 0.02))
+    params2 = weights.blob_to_params(weights.random_blob(rng, 0.015))
+    tracks = jnp.asarray(
+        rng.standard_normal((4, 2, 2 * 4096)), jnp.float32
+    ) * 0.3
+    padded = jax.vmap(lambda a: transform.pad_offline(a, CFG.transform))(tracks)
+
+    m = pmesh.make_mesh(stem_parallel=1)
+    got = pmesh.separate_3stem_batch_sharded(params4, params2, padded, CFG, m)
+    ref1 = separate.separate_3stem(params4, params2, padded[1], CFG)
+    assert got.shape[:2] == (4, 3)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref1), atol=2e-5)
+
+
 def test_sharded_stream_steps_match_unsharded(rng):
     """K=8 streams over 8 devices, two chained blocks, sample-exact vs the
     single-device multi-stream step."""

@@ -242,6 +242,38 @@ def test_separate_3stem_fused_equals_canonical(rng, monkeypatch, interpret_palla
     np.testing.assert_allclose(got[1] + got[2], ref[1] + ref[2], atol=2e-4)
 
 
+def test_separate_3stem_batch_fused_equals_per_track(rng, monkeypatch, interpret_pallas):
+    """The batched fused 3-stem graph (track batch folded into the kernel
+    row axis, two mask passes + one 3-stem masked iSTFT) vs the per-track
+    canonical two-pass formulation."""
+    cfg = SeparatorConfig(
+        bin_limit=512, time_step=64, num_stems=3, compute_dtype=jnp.float32
+    )
+    params4 = model.init_params(jax.random.PRNGKey(6))
+    params2 = model.init_params(jax.random.PRNGKey(7))
+    tracks = jnp.asarray(
+        rng.standard_normal((3, 2, 2 * 4096)), jnp.float32
+    ) * 0.3
+    padded = jax.vmap(lambda a: transform.pad_offline(a, cfg.transform))(tracks)
+
+    ref = np.stack(
+        [np.asarray(separate.separate_3stem(params4, params2, p, cfg))
+         for p in padded]
+    )
+
+    monkeypatch.setenv("SPLEETERRT_FUSED_STFT", "1")
+    separate.separate_3stem_batch.clear_cache()
+    try:
+        got = np.asarray(
+            separate.separate_3stem_batch(params4, params2, padded, cfg)
+        )
+    finally:
+        monkeypatch.delenv("SPLEETERRT_FUSED_STFT")
+        separate.separate_3stem_batch.clear_cache()
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_separate_2stem_fused_equals_canonical(rng, monkeypatch, interpret_pallas):
     cfg = SeparatorConfig(
         bin_limit=512, time_step=64, num_stems=2, compute_dtype=jnp.float32
