@@ -125,12 +125,15 @@ def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
          x4[1 : ngy + 1, 0], x4[1 : ngy + 1, 1]],
         axis=-1,
     )  # (ngy, th, 768)
-    xcf = xc.reshape(ngy * th, 6 * 128)
-    acc = jnp.zeros((ngy, ty, 64), jnp.float32)
+    # Row tap a reads operand rows [a, a + ty): slicing the bf16 OPERAND
+    # (an address offset on the matmul M axis) replaces the misaligned f32
+    # product slice-adds (same rewrite as kernels/tail.py, round 5).
+    acc = None
     for a in range(3):
-        za = jnp.dot(xcf, w2_ref[0, a], preferred_element_type=jnp.float32)
-        # Row tap offset applied post-matmul (sublane slice + add).
-        acc = acc + za.reshape(ngy, th, 64)[:, a : a + ty]
+        op = xc[:, a : a + ty].reshape(ngy * ty, 6 * 128)
+        za = jnp.dot(op, w2_ref[0, a], preferred_element_type=jnp.float32)
+        acc = za if acc is None else acc + za
+    acc = acc.reshape(ngy, ty, 64)
 
     # Epilogue: act BEFORE batch norm (spleeter.c:244-245); cout = 1 so the
     # bias/BN terms are scalars shared by all parities.
@@ -144,16 +147,18 @@ def _head_kernel(xq_ref, w2_ref, u7_ref, scal_ref, rowm_ref, qm_ref, out_ref,
 
     # --- up7: 8 parity-mix matmuls; window = two adjacent y6 groups --------
     yc = jnp.concatenate([y6[0:ngo], y6[1:ngy]], axis=-1)  # (ngo, ty, 128)
-    ycf = yc.reshape(ngo * ty, 128)
     b7l = scal_ref[0, 0:1, _SCAL_B7L : _SCAL_B7L + 64]
     for q in range(2):
-        oq = jnp.zeros((ngo, TT, 64), jnp.float32)
+        oq = None
         for a in range(4):
+            # Output row u reads y6 row u + a - 2 + q (local u + a + q):
+            # slice the operand rows per (q, a) term.
+            op = yc[:, a + q : a + q + TT].reshape(ngo * TT, 128)
             zqa = jnp.dot(
-                ycf, u7_ref[0, q, a], preferred_element_type=jnp.float32
-            ).reshape(ngo, ty, 64)
-            # Output row u reads y6 row u + a - 2 + q (local u + a + q).
-            oq = oq + zqa[:, a + q : a + q + TT]
+                op, u7_ref[0, q, a], preferred_element_type=jnp.float32
+            )
+            oq = zqa if oq is None else oq + zqa
+        oq = oq.reshape(ngo, TT, 64)
         # Lane L = 64q + n; halves stored separately (a lane concat of the
         # offset-layout slice results does not lower in Mosaic).
         out_ref[0, :, :, 64 * q : 64 * q + 64] = jax.nn.sigmoid(oq + b7l)
