@@ -42,7 +42,9 @@ SR = 44100
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, nargs="+", default=[1, 4, 16])
+    # K = 32 is the single-dispatch HBM cap at the VST config (K = 64
+    # exhausts device memory); see benchmarks/results/stream.jsonl.
+    ap.add_argument("--streams", type=int, nargs="+", default=[1, 4, 16, 32])
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
